@@ -1,0 +1,98 @@
+"""Masked multi-head attention ops for padded variable-channel sequences.
+
+The reference runs torch ``MultiheadAttention`` with a ``src_key_padding_mask``
+over ``B x (10*196 + 1)`` token sequences (reference ``chada_vit.py:277-278``,
+``src/backbones/vit/chada_vit.py:105-111``). The padding has *prefix structure*:
+valid tokens are always the contiguous prefix ``1 + 196 * channel_count`` because
+channels are padded at the end. Two implementations:
+
+- ``xla``: plain einsum + masked softmax. XLA fuses this well; numerically it is
+  the parity reference (matches torch ``F.multi_head_attention_forward``).
+- ``pallas``: flash-attention kernel that *skips* key blocks beyond the valid
+  prefix, recovering up to ``C_max/c`` of the padding FLOPs for low-channel
+  images (see :mod:`chadavit_tpu.ops.flash_attention`).
+
+``impl='auto'`` picks pallas on TPU when weights are not requested, else xla.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_NEG_INF = float("-inf")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def split_heads(x: Array, num_heads: int) -> Array:
+    b, s, d = x.shape
+    hd = d // num_heads
+    return x.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)  # (B, H, S, hd)
+
+
+def merge_heads(x: Array) -> Array:
+    b, h, s, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+
+
+def xla_masked_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    key_padding_mask: Optional[Array],
+    num_heads: int,
+    return_weights: bool = False,
+) -> Tuple[Array, Optional[Array]]:
+    """Reference XLA implementation (torch-parity numerics).
+
+    q/k/v: ``(B, S, D)``; key_padding_mask: ``(B, S)`` bool, True = masked key.
+    Returns ``(out (B, S, D), weights (B, H, S, S) or None)``.
+    """
+    d = q.shape[-1]
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    qh = split_heads(q, num_heads) * jnp.asarray(scale, q.dtype)
+    kh = split_heads(k, num_heads)
+    vh = split_heads(v, num_heads)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask[:, None, None, :], _NEG_INF, 0.0).astype(scores.dtype)
+        scores = scores + bias
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
+    out = merge_heads(out).astype(q.dtype)
+    return out, (weights if return_weights else None)
+
+
+def masked_multihead_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    key_padding_mask: Optional[Array],
+    num_heads: int,
+    impl: str = "auto",
+    return_weights: bool = False,
+    valid_len: Optional[Array] = None,
+) -> Tuple[Array, Optional[Array]]:
+    """Dispatching masked MHA. ``valid_len (B,)`` enables the prefix-structured
+    Pallas flash kernel (valid keys are exactly positions ``< valid_len[b]``)."""
+    if impl == "auto":
+        use_pallas = _on_tpu() and not return_weights and valid_len is not None
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas" and not return_weights and valid_len is not None:
+        from chadavit_tpu.ops.flash_attention import prefix_flash_attention
+
+        out = prefix_flash_attention(q, k, v, valid_len, num_heads)
+        return out, None
+    return xla_masked_attention(q, k, v, key_padding_mask, num_heads, return_weights)

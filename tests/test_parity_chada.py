@@ -1,0 +1,138 @@
+"""Golden parity: JAX ChAdaViT vs the reference PyTorch implementation.
+
+Mirrors HOW_TO_USE.ipynb cell-16/26: random images with 1-10 channels, mixed in
+one batch; embeddings must match to >= 1 - 1e-4 cosine similarity (BASELINE.md
+target), and we additionally check tight elementwise tolerance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chadavit_tpu.models import chada_vit, densify_one_channel_batch
+from chadavit_tpu.models.import_torch import chada_vit_params_from_torch
+
+from .oracle import load_reference
+
+IMG = 64  # 4x4 patch grid -> seq 1 + 10*16 = 161; fast on CPU yet exercises everything
+
+
+@pytest.fixture(scope="module")
+def torch_ref():
+    torch = pytest.importorskip("torch")
+    ref = load_reference()
+    torch.manual_seed(0)
+    model = ref.ChAdaViT(
+        img_size=[IMG], patch_size=16, embed_dim=192, depth=12, num_heads=2,
+        return_all_tokens=False, max_number_channels=10,
+    )
+    model.eval()
+    return torch, model
+
+
+@pytest.fixture(scope="module")
+def jax_model(torch_ref):
+    torch, model = torch_ref
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = chada_vit_params_from_torch(sd, depth=12)
+    jm = chada_vit(patch_size=16, embed_dim=192, return_all_tokens=False,
+                   max_number_channels=10, img_size=IMG)
+    return jm, {"params": params}
+
+
+def _mixed_batch(rng, counts, img=IMG):
+    flat = rng.standard_normal((sum(counts), 1, img, img)).astype(np.float32)
+    return flat, list(counts)
+
+
+def test_cls_embedding_parity(torch_ref, jax_model, rng):
+    torch, tmodel = torch_ref
+    jmodel, variables = jax_model
+    counts = [3, 1, 10, 5]
+    flat, lst = _mixed_batch(rng, counts)
+
+    with torch.no_grad():
+        ref_out = tmodel(torch.from_numpy(flat), index=0, list_num_channels=[lst]).numpy()
+
+    dense, cc = densify_one_channel_batch(flat, lst, max_channels=10)
+    out = jmodel.apply(variables, dense, cc)
+    out = np.asarray(out)
+
+    assert ref_out.shape == out.shape == (4, 192)
+    cos = np.sum(ref_out * out, -1) / (
+        np.linalg.norm(ref_out, axis=-1) * np.linalg.norm(out, axis=-1)
+    )
+    assert np.all(cos >= 1 - 1e-4), f"cosine parity failed: {cos}"
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-4)
+
+
+def test_all_tokens_parity(torch_ref, jax_model, rng):
+    torch, tmodel = torch_ref
+    jmodel, variables = jax_model
+    counts = [2, 7]
+    flat, lst = _mixed_batch(rng, counts)
+
+    tmodel.return_all_tokens = True
+    with torch.no_grad():
+        ref_tokens = tmodel(torch.from_numpy(flat), index=0, list_num_channels=[lst]).numpy()
+    tmodel.return_all_tokens = False
+
+    dense, cc = densify_one_channel_batch(flat, lst, max_channels=10)
+    tokens, valid = jmodel.apply(variables, dense, cc, return_dense_tokens=True)
+    tokens, valid = np.asarray(tokens), np.asarray(valid)
+    ragged = tokens[valid]  # flatten exactly like the reference (chada_vit.py:283-287)
+
+    assert ragged.shape == ref_tokens.shape
+    np.testing.assert_allclose(ragged, ref_tokens, rtol=1e-4, atol=2e-4)
+
+
+def test_last_selfattention_parity(torch_ref, jax_model, rng):
+    torch, tmodel = torch_ref
+    jmodel, variables = jax_model
+    x = rng.standard_normal((1, 1, IMG, IMG)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_attn = tmodel.get_last_selfattention(torch.from_numpy(x)).numpy()
+
+    attn = jmodel.apply(variables, jnp.asarray(x), method="get_last_selfattention")
+    attn = np.asarray(attn)
+    assert attn.shape == ref_attn.shape  # (1, heads, S, S)
+    np.testing.assert_allclose(attn, ref_attn, rtol=1e-4, atol=2e-5)
+
+
+def test_full_res_cls_parity(torch_ref, rng):
+    """One full 224x224 check on a small batch (the HOW_TO_USE path)."""
+    torch, _ = torch_ref
+    ref_mod = load_reference()
+    torch.manual_seed(1)
+    tmodel = ref_mod.ChAdaViT(img_size=[224], patch_size=16, embed_dim=192, depth=12,
+                              num_heads=2, return_all_tokens=False, max_number_channels=10)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = chada_vit_params_from_torch(sd, depth=12)
+    jmodel = chada_vit(patch_size=16, embed_dim=192, return_all_tokens=False,
+                       max_number_channels=10, img_size=224)
+
+    counts = [4, 1]
+    flat, lst = _mixed_batch(rng, counts, img=224)
+    with torch.no_grad():
+        ref_out = tmodel(torch.from_numpy(flat), index=0, list_num_channels=[lst]).numpy()
+    dense, cc = densify_one_channel_batch(flat, lst, max_channels=10)
+    out = np.asarray(jmodel.apply({"params": params}, dense, cc))
+
+    cos = np.sum(ref_out * out, -1) / (
+        np.linalg.norm(ref_out, axis=-1) * np.linalg.norm(out, axis=-1)
+    )
+    assert np.all(cos >= 1 - 1e-4), f"cosine parity failed: {cos}"
+
+
+def test_mask_semantics():
+    from chadavit_tpu.models import channel_padding_mask
+
+    m = np.asarray(channel_padding_mask(jnp.asarray([2, 10, 1]), 10, 16))
+    assert m.shape == (3, 161)
+    assert not m[:, 0].any()  # CLS never masked
+    assert not m[0, 1 : 1 + 32].any() and m[0, 1 + 32 :].all()
+    assert not m[1, 1:].any()
+    assert not m[2, 1 : 1 + 16].any() and m[2, 1 + 16 :].all()
