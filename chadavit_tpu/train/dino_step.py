@@ -1,0 +1,168 @@
+"""The DINO pretraining step as ONE pure jit-compiled function.
+
+Replaces the reference's LightningModule plumbing (``BaseMethod.training_step``
++ ``BaseMomentumMethod`` + ``DINO.training_step`` + ``on_after_backward`` +
+``on_train_batch_end``, reference ``src/methods/{base,dino}.py``) with a single
+``(state, batch) -> (state, metrics)`` function:
+
+- student forward on both global crops batched as one ``(2B, C, H, W)`` pass
+  (crop-major, matching ``torch.cat(out["z"])`` ordering, ``dino.py:313``)
+- teacher forward (EMA params, stop-gradient) on the same global crops
+- DINO loss with EMA centering; the center's global mean is a GSPMD collective
+  under the data mesh (reference used ``dist.all_reduce``, ``losses/dino.py:112``)
+- per-parameter gradient clipping on the backbone only (``dino.py:249-261``)
+- prototype-gradient freeze for the first ``freeze_last_layer`` epochs
+  (``dino.py:367-376``)
+- optax update (LARS + warmup-cosine), EMA teacher update with cosine tau
+  (``base.py:1250-1276``), schedules all indexed by ``state.step``
+
+Fidelity notes:
+- Small (local) crops contribute **no** DINO signal in the reference: its
+  ``multicrop_forward`` never computes head outputs (``base.py:566-614`` has no
+  ``z``), and the returned loss is ``dino_loss`` alone (``dino.py:325``,
+  SURVEY §2.4 #9). Forwarding them would waste FLOPs with zero gradient, so
+  this step skips them; pass ``num_small_crops=0`` data.
+- The online classifier receives no gradient in DINO pretraining for the same
+  reason; it is omitted from the pretrain step (metrics-only in the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from chadavit_tpu.losses.dino import dino_loss_and_center, teacher_temp_schedule
+from chadavit_tpu.train.schedules import cosine_tau
+from chadavit_tpu.train.state import DinoState
+
+Array = jax.Array
+
+
+class DinoStepConfig(NamedTuple):
+    """Static configuration compiled into the step."""
+
+    num_large_crops: int = 2
+    student_temp: float = 0.1
+    warmup_teacher_temp: float = 0.04
+    teacher_temp: float = 0.07
+    warmup_teacher_temp_epochs: int = 0
+    center_momentum: float = 0.9
+    clip_grad: float = 0.0
+    freeze_last_layer: int = 1
+    base_tau: float = 0.996
+    final_tau: float = 1.0
+    total_steps: int = 1
+    steps_per_epoch: int = 1
+
+
+def _clip_backbone_grads(grads_backbone, clip: float):
+    """Per-parameter L2 clip (reference ``dino_clip_gradients``, ``dino.py:249-261``)."""
+
+    def one(g):
+        norm = jnp.linalg.norm(g)
+        coef = clip / (norm + 1e-6)
+        return jnp.where(coef < 1.0, g * coef, g)
+
+    return jax.tree.map(one, grads_backbone)
+
+
+def make_dino_train_step(
+    backbone_apply: Callable,
+    head_apply: Callable,
+    tx: optax.GradientTransformation,
+    cfg: DinoStepConfig,
+) -> Callable[[DinoState, Dict[str, Array]], Tuple[DinoState, Dict[str, Array]]]:
+    """Build the jittable train step.
+
+    ``backbone_apply(params, crops, channel_counts) -> (M, D)`` features and
+    ``head_apply(params, feats) -> (M, P)`` logits, where ``M = num_crops * B``.
+
+    Batch layout: ``{"crops": (num_large_crops, B, C_max, H, W),
+    "channel_counts": (B,)}``.
+    """
+
+    def train_step(state: DinoState, batch: Dict[str, Array]):
+        crops = batch["crops"]
+        cc = batch["channel_counts"]
+        nc, b = crops.shape[0], crops.shape[1]
+        flat = crops.reshape((nc * b,) + crops.shape[2:])
+        cc_rep = jnp.tile(cc, nc)
+
+        epoch = state.step // cfg.steps_per_epoch
+        teacher_temp = teacher_temp_schedule(
+            epoch, cfg.warmup_teacher_temp, cfg.teacher_temp, cfg.warmup_teacher_temp_epochs
+        )
+
+        # ----- teacher (EMA params, no grad): both global crops in one pass -----
+        t_feats = backbone_apply(state.teacher["backbone"], flat, cc_rep)
+        t_z = head_apply(state.teacher["head"], t_feats)
+        t_z = jax.lax.stop_gradient(t_z)
+
+        def loss_fn(student_params):
+            s_feats = backbone_apply(student_params["backbone"], flat, cc_rep)
+            s_z = head_apply(student_params["head"], s_feats)
+            loss, new_center = dino_loss_and_center(
+                s_z.astype(jnp.float32),
+                t_z.astype(jnp.float32),
+                state.center,
+                teacher_temp,
+                student_temp=cfg.student_temp,
+                num_large_crops=cfg.num_large_crops,
+                center_momentum=cfg.center_momentum,
+            )
+            aux = {
+                "new_center": new_center,
+                "teacher_entropy": -jnp.mean(
+                    jnp.sum(
+                        jax.nn.softmax((t_z - state.center) / teacher_temp, -1)
+                        * jax.nn.log_softmax((t_z - state.center) / teacher_temp, -1),
+                        axis=-1,
+                    )
+                ),
+            }
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)
+
+        # gradient hygiene (reference on_after_backward, dino.py:367-376)
+        if cfg.clip_grad:
+            grads = dict(grads)
+            grads["backbone"] = _clip_backbone_grads(grads["backbone"], cfg.clip_grad)
+        if cfg.freeze_last_layer > 0:
+            frozen = (epoch < cfg.freeze_last_layer).astype(jnp.float32)
+            grads = dict(grads)
+            head_grads = dict(grads["head"])
+            for k in ("last_layer_v", "last_layer_g"):
+                if k in head_grads:
+                    head_grads[k] = head_grads[k] * (1.0 - frozen)
+            grads["head"] = head_grads
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.student)
+        student = optax.apply_updates(state.student, updates)
+
+        # EMA teacher with cosine tau (base.py:1250-1276, momentum.py:73-87)
+        tau = cosine_tau(state.step, cfg.total_steps, cfg.base_tau, cfg.final_tau)
+        teacher = jax.tree.map(lambda t, s: tau * t + (1.0 - tau) * s, state.teacher, student)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            student=student,
+            teacher=teacher,
+            opt_state=opt_state,
+            center=aux["new_center"],
+        )
+        metrics = {
+            "dino_loss": loss,
+            "tau": tau,
+            "teacher_temp": teacher_temp,
+            "teacher_entropy": aux["teacher_entropy"],
+            "center_norm": jnp.linalg.norm(aux["new_center"]),
+            "epoch": epoch,
+        }
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,187 @@
+"""Wire backbone + DINO head + optimizer + schedules into a sharded, jitted
+train step. This is the programmatic API used by ``main_pretrain.py``, the
+benchmark harness, and the multi-chip dry run."""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chadavit_tpu.models import DINOHead, get_backbone
+from chadavit_tpu.parallel.mesh import (
+    dino_batch_shardings,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+from chadavit_tpu.train.dino_step import DinoStepConfig, make_dino_train_step
+from chadavit_tpu.train.optim import build_group_tx, grouped_optimizer
+from chadavit_tpu.train.schedules import warmup_cosine_lr
+from chadavit_tpu.train.state import DinoState
+
+
+@dataclass
+class DinoPretrainSpec:
+    """Everything needed to build the DINO pretrain step (mirrors the knobs of
+    the reference YAML, ``scripts/knn/bbbc048/dino_chada_vit_moyen.yaml:36-84``)."""
+
+    # backbone
+    backbone: str = "vit_channels"
+    backbone_kwargs: Dict[str, Any] = field(default_factory=lambda: dict(
+        embed_dim=192, patch_size=16, return_all_tokens=False, max_number_channels=10,
+    ))
+    img_size: int = 224
+    max_channels: int = 10
+    # head (method_kwargs)
+    proj_hidden_dim: int = 2048
+    proj_output_dim: int = 256
+    num_prototypes: int = 4096
+    use_bn_in_head: bool = False
+    norm_last_layer: bool = True
+    # loss / schedules
+    student_temperature: float = 0.1
+    teacher_temperature: float = 0.07
+    warmup_teacher_temperature: float = 0.04
+    warmup_teacher_temperature_epochs: int = 0
+    clip_grad: float = 0.0
+    freeze_last_layer: int = 1
+    base_tau: float = 0.9995
+    final_tau: float = 1.0
+    # optimizer (lr already scaled by batch*devices*nodes/256 at config parse)
+    optimizer: str = "lars"
+    lr: float = 0.3
+    weight_decay: float = 1e-6
+    optimizer_kwargs: Dict[str, Any] = field(default_factory=lambda: dict(
+        clip_lr=True, eta=0.02, exclude_bias_n_norm=True,
+    ))
+    exclude_bias_n_norm_wd: bool = False
+    warmup_epochs: float = 10
+    warmup_start_lr: float = 3e-5
+    min_lr: float = 0.0
+    # loop sizes
+    num_large_crops: int = 2
+    max_epochs: int = 400
+    steps_per_epoch: int = 100
+    # numerics
+    dtype: Any = jnp.float32
+
+    @property
+    def total_steps(self) -> int:
+        return self.max_epochs * self.steps_per_epoch
+
+
+def build_dino(
+    spec: DinoPretrainSpec,
+    mesh=None,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[DinoState, Callable, Any, Any]:
+    """Returns ``(state, jitted_train_step, backbone_model, head_model)``.
+
+    The step is jitted over ``mesh`` with the batch sharded on the data axis and
+    params sharded per the TP rules (replicated when the model axis is 1)."""
+    if mesh is None:
+        mesh = make_mesh(n_model=1)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    bk = dict(spec.backbone_kwargs)
+    bk.setdefault("img_size", spec.img_size)
+    bk["dtype"] = spec.dtype
+    model = get_backbone(spec.backbone, **bk)
+    features_dim = bk.get("embed_dim", getattr(model, "embed_dim", 192))
+
+    head = DINOHead(
+        in_dim=features_dim,
+        num_prototypes=spec.num_prototypes,
+        use_bn=spec.use_bn_in_head,
+        norm_last_layer=spec.norm_last_layer,
+        hidden_dim=spec.proj_hidden_dim,
+        bottleneck_dim=spec.proj_output_dim,
+        dtype=spec.dtype,
+    )
+
+    r1, r2 = jax.random.split(rng)
+    dummy = jnp.zeros((1, spec.max_channels, spec.img_size, spec.img_size), spec.dtype)
+    dummy_cc = jnp.ones((1,), jnp.int32)
+    backbone_params = model.init(r1, dummy, dummy_cc)["params"]
+    head_params = head.init(r2, jnp.zeros((1, features_dim), spec.dtype))["params"]
+    student = {"backbone": backbone_params, "head": head_params}
+
+    lr_schedule = functools.partial(
+        warmup_cosine_lr,
+        base_lr=spec.lr,
+        total_steps=spec.total_steps,
+        warmup_steps=int(spec.warmup_epochs * spec.steps_per_epoch),
+        warmup_start_lr=spec.warmup_start_lr,
+        min_lr=spec.min_lr,
+    )
+    group = build_group_tx(
+        spec.optimizer,
+        lr_schedule,
+        spec.weight_decay,
+        spec.optimizer_kwargs,
+        spec.exclude_bias_n_norm_wd,
+    )
+    labels = jax.tree.map(lambda _: "all", student)
+    tx = grouped_optimizer({"all": group}, labels)
+    opt_state = tx.init(student)
+
+    state = DinoState.create(student, opt_state, spec.num_prototypes)
+
+    step_cfg = DinoStepConfig(
+        num_large_crops=spec.num_large_crops,
+        student_temp=spec.student_temperature,
+        warmup_teacher_temp=spec.warmup_teacher_temperature,
+        teacher_temp=spec.teacher_temperature,
+        warmup_teacher_temp_epochs=spec.warmup_teacher_temperature_epochs,
+        clip_grad=spec.clip_grad,
+        freeze_last_layer=spec.freeze_last_layer,
+        base_tau=spec.base_tau,
+        final_tau=spec.final_tau,
+        total_steps=spec.total_steps,
+        steps_per_epoch=spec.steps_per_epoch,
+    )
+
+    def backbone_apply(params, x, cc):
+        return model.apply({"params": params}, x, cc)
+
+    def head_apply(params, feats):
+        return head.apply({"params": params}, feats)
+
+    raw_step = make_dino_train_step(backbone_apply, head_apply, tx, step_cfg)
+
+    # ---- sharding: params per TP rules, batch over the data axis ----
+    rep = replicated(mesh)
+    student_sh = param_shardings(student, mesh)
+    opt_sh = jax.tree.map(lambda _: rep, opt_state)
+    state_sh = DinoState(step=rep, student=student_sh, teacher=student_sh,
+                         opt_state=opt_sh, center=rep)
+    batch_sh = dino_batch_shardings(mesh)
+    metric_sh = rep
+
+    state = jax.device_put(state, state_sh)
+    train_step = jax.jit(
+        raw_step,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,),
+    )
+    return state, train_step, model, head
+
+
+def synthetic_dino_batch(spec: DinoPretrainSpec, batch_size: int, seed: int = 0):
+    """Random mixed-channel batch in the train-step layout (for tests/benchmarks)."""
+    rng = np.random.default_rng(seed)
+    crops = rng.standard_normal(
+        (spec.num_large_crops, batch_size, spec.max_channels, spec.img_size, spec.img_size)
+    ).astype(np.float32)
+    counts = rng.integers(1, spec.max_channels + 1, size=(batch_size,)).astype(np.int32)
+    # zero out padded channels like a real collate would
+    for i, c in enumerate(counts):
+        crops[:, i, c:] = 0.0
+    return {"crops": jnp.asarray(crops, spec.dtype), "channel_counts": jnp.asarray(counts)}

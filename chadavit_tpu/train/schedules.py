@@ -1,0 +1,53 @@
+"""Step-indexed schedules as pure functions of the global step.
+
+The reference steps ``LinearWarmupCosineAnnealingLR`` per iteration with warmup
+steps derived from ``estimated_stepping_batches`` (reference
+``src/methods/base.py:448-459``, ``src/utils/lr_scheduler.py:127-149`` closed
+form), and cosine-anneals the EMA tau over all steps (``src/utils/momentum.py:76-87``).
+Here every schedule is a closed-form jnp function so the jitted train step can
+index it with the traced step counter."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def warmup_cosine_lr(
+    step: Array,
+    base_lr: float,
+    total_steps: int,
+    warmup_steps: int,
+    warmup_start_lr: float = 0.0,
+    min_lr: float = 0.0,
+) -> Array:
+    """Linear warmup then cosine annealing (closed form of the reference's
+    ``_get_closed_form_lr``, ``lr_scheduler.py:127-149``)."""
+    step = jnp.asarray(step, jnp.float32)
+    if warmup_steps <= 0:
+        warm = jnp.asarray(base_lr, jnp.float32)
+    elif warmup_steps == 1:
+        warm = jnp.asarray(warmup_start_lr, jnp.float32)
+    else:
+        warm = warmup_start_lr + step * (base_lr - warmup_start_lr) / (warmup_steps - 1)
+    denom = max(total_steps - warmup_steps, 1)
+    cos = min_lr + 0.5 * (base_lr - min_lr) * (
+        1.0 + jnp.cos(jnp.pi * (step - warmup_steps) / denom)
+    )
+    return jnp.where(step < warmup_steps, warm, cos)
+
+
+def cosine_tau(step: Array, max_steps: int, base_tau: float, final_tau: float) -> Array:
+    """EMA momentum coefficient schedule (reference ``momentum.py:84-87``)."""
+    step = jnp.asarray(step, jnp.float32)
+    return final_tau - (final_tau - base_tau) * (jnp.cos(jnp.pi * step / max(max_steps, 1)) + 1.0) / 2.0
+
+
+def multistep_lr(step: Array, base_lr: float, decay_steps, gamma: float = 0.1) -> Array:
+    """MultiStepLR equivalent (reference ``base.py:474``)."""
+    step = jnp.asarray(step, jnp.float32)
+    factor = jnp.asarray(1.0, jnp.float32)
+    for s in decay_steps:
+        factor = factor * jnp.where(step >= s, gamma, 1.0)
+    return base_lr * factor

@@ -1,9 +1,10 @@
-"""Pallas prefix flash attention vs the XLA masked-softmax reference
-(interpret mode on CPU; the same kernel compiles on TPU)."""
+"""Pallas prefix flash attention (fwd + custom VJP) vs the XLA masked-softmax
+reference (interpret mode on CPU; the same kernels compile on TPU)."""
 
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from chadavit_tpu.models import channel_padding_mask
@@ -11,42 +12,65 @@ from chadavit_tpu.ops.attention import xla_masked_attention
 from chadavit_tpu.ops.flash_attention import prefix_flash_attention
 
 
-@pytest.mark.parametrize("counts", [[1, 10, 3], [2, 2, 2]])
-@pytest.mark.parametrize("num_heads,d", [(2, 192), (3, 192)])
-def test_prefix_flash_matches_xla(rng, counts, num_heads, d):
-    n = 196
+def _inputs(rng, counts, n, d, cmax):
     b = len(counts)
-    s = 1 + 10 * n  # 1961
+    s = 1 + cmax * n
     q = rng.standard_normal((b, s, d)).astype(np.float32)
     k = rng.standard_normal((b, s, d)).astype(np.float32)
     v = rng.standard_normal((b, s, d)).astype(np.float32)
     cc = jnp.asarray(counts)
-    valid_len = 1 + cc * n
-    mask = channel_padding_mask(cc, 10, n)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 1 + cc * n, channel_padding_mask(cc, cmax, n)
 
-    ref, _ = xla_masked_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask, num_heads)
-    out = prefix_flash_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), valid_len, num_heads, interpret=True
-    )
+
+@pytest.mark.parametrize("counts", [[1, 10, 3], [2, 2, 2]])
+@pytest.mark.parametrize("num_heads,d", [(2, 192), (3, 192)])
+def test_prefix_flash_matches_xla(rng, counts, num_heads, d):
+    q, k, v, valid_len, mask = _inputs(rng, counts, 196, d, 10)
+    ref, _ = xla_masked_attention(q, k, v, mask, num_heads)
+    out = prefix_flash_attention(q, k, v, valid_len, num_heads, 256, True)
 
     ref, out = np.asarray(ref), np.asarray(out)
     # compare only valid token positions (padded-query outputs are unused downstream)
-    for i, c in enumerate(counts):
-        vl = 1 + c * n
+    for i, vl in enumerate(np.asarray(valid_len)):
         np.testing.assert_allclose(out[i, :vl], ref[i, :vl], rtol=2e-5, atol=2e-5)
 
 
 def test_prefix_flash_small_shapes(rng):
-    # non-multiple-of-block sequence with tiny head_dim
     b, s, d, h = 2, 161, 64, 2
-    q = rng.standard_normal((b, s, d)).astype(np.float32)
-    k = rng.standard_normal((b, s, d)).astype(np.float32)
-    v = rng.standard_normal((b, s, d)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
     valid_len = jnp.asarray([161, 17])
     mask = jnp.arange(s)[None, :] >= valid_len[:, None]
 
-    ref, _ = xla_masked_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask, h)
-    out = prefix_flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), valid_len, h, interpret=True)
+    ref, _ = xla_masked_attention(q, k, v, mask, h)
+    out = prefix_flash_attention(q, k, v, valid_len, h, 256, True)
     ref, out = np.asarray(ref), np.asarray(out)
     for i, vl in enumerate([161, 17]):
         np.testing.assert_allclose(out[i, :vl], ref[i, :vl], rtol=2e-5, atol=2e-5)
+
+
+def test_prefix_flash_gradients_match_xla(rng):
+    """Custom VJP vs autodiff through the XLA path. The scalar loss reads only
+    valid positions — exactly how the model consumes attention outputs — so
+    padded-block gradient skipping must be invisible."""
+    counts = [1, 4, 10]
+    n, d, h = 49, 96, 2  # cmax=10 -> s = 491
+    q, k, v, valid_len, mask = _inputs(rng, counts, n, d, 10)
+    w = jnp.asarray(rng.standard_normal((len(counts), 1 + 10 * n, d)).astype(np.float32))
+    valid_cols = ~mask  # (B, S)
+
+    def loss_xla(q, k, v):
+        out, _ = xla_masked_attention(q, k, v, mask, h)
+        return jnp.sum(jnp.where(valid_cols[..., None], out * w, 0.0))
+
+    def loss_flash(q, k, v):
+        out = prefix_flash_attention(q, k, v, valid_len, h, 256, True)
+        return jnp.sum(jnp.where(valid_cols[..., None], out * w, 0.0))
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+
+    for name, a, b_ in zip("qkv", g_ref, g_out):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        np.testing.assert_allclose(b_, a, rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
