@@ -1,0 +1,353 @@
+"""Dataset zoo: CSV-manifest microscopy datasets (reference
+``src/data/custom_datasets.py`` — 12 near-identical Dataset classes, here one
+manifest engine + declarative metadata per dataset).
+
+Manifest format (reference ``IDRCell100K._collect_files``, ``custom_datasets.py:195-215``):
+``{root_dir}/train.csv`` / ``test.csv`` rows are either
+``image_id, "['ch1.png', 'ch2.png', ...]"`` (unlabeled) or
+``image_id, target, "['ch1.png', ...]"`` (labeled / regression). Each channel
+path is a single-channel image; channels stack into an HWC float32 array
+(reference ``custom_datasets.py:166-190``).
+
+Extras preserved:
+- low-data-regime ``sample_ratio`` with cached file lists
+  (``train_{Name}_{ratio}.txt``, reference ``custom_datasets.py:532-559``);
+- ``dataset_with_index`` wrapper (reference ``pretrain_dataloader.py:52-67``);
+- per-dataset class metadata (``int_to_labels`` etc.) as class attributes.
+"""
+
+from __future__ import annotations
+
+import ast
+import csv
+import os
+import random
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _imread(path: str) -> np.ndarray:
+    """Decode one single-channel image file. PNG/JPG via PIL; 16-bit TIFF via
+    cv2 (the reference uses tifffile/cv2, ``misc.py:465-478``); .npy raw."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        return np.load(path)
+    if ext in (".tif", ".tiff"):
+        try:
+            import cv2
+
+            img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if img is not None:
+                return img
+        except Exception:
+            pass
+    from PIL import Image
+
+    return np.array(Image.open(path))
+
+
+def load_channel_stack(paths: List[str]) -> np.ndarray:
+    """Stack N single-channel files into HWC float32 (reference
+    ``custom_datasets.py:166-190``)."""
+    chans = []
+    for p in paths:
+        arr = _imread(p)
+        if arr.ndim == 3:  # an already-multichannel file contributes all planes
+            for c in range(arr.shape[2]):
+                chans.append(arr[:, :, c])
+        else:
+            chans.append(arr)
+    return np.stack(chans, axis=-1).astype(np.float32)
+
+
+class CsvManifestDataset:
+    """Generic CSV-manifest dataset; subclasses set metadata."""
+
+    img_channels: int = 1
+    task: str = "classification"  # or "regression" / "pretrain"
+    is_multiclass: bool = True
+    int_to_labels: Dict[int, str] = {}
+    labeled: bool = True
+
+    def __init__(
+        self,
+        root_dir: str,
+        train: bool = True,
+        transform: Optional[Callable] = None,
+        shuffle: bool = False,
+        sample_ratio: float = 1.0,
+    ):
+        self.root_dir = root_dir
+        self.train = train
+        self.transform = transform
+        self.sample_ratio = sample_ratio
+        self.file_list = self._load_manifest()
+
+        # low-data regime with cached lists, training split only
+        if train and sample_ratio is not None and sample_ratio != 1.0:
+            if not 0 < sample_ratio <= 1:
+                raise ValueError("sample_ratio must be in (0, 1]")
+            cache = os.path.join(root_dir, f"train_{type(self).__name__}_{sample_ratio}.txt")
+            if os.path.isfile(cache):
+                with open(cache) as f:
+                    keep = {line.strip() for line in f if line.strip()}
+                self.file_list = [r for r in self.file_list if str(r[0]) in keep]
+            else:
+                k = int(len(self.file_list) * sample_ratio)
+                self.file_list = random.sample(self.file_list, k)
+                try:
+                    with open(cache, "w") as f:
+                        f.writelines(f"{r[0]}\n" for r in self.file_list)
+                except OSError:
+                    pass  # read-only data dir: subset is still used, just not cached
+
+        if shuffle:
+            random.shuffle(self.file_list)
+
+    # -- manifest ------------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root_dir, "train.csv" if self.train else "test.csv")
+
+    def _image_dir(self) -> str:
+        return self.root_dir
+
+    def _load_manifest(self) -> List[Tuple]:
+        rows = []
+        with open(self._manifest_path()) as f:
+            for row in csv.reader(f):
+                if not row:
+                    continue
+                if self.labeled:
+                    image_id, target, paths = row[0], row[1], row[2]
+                else:
+                    image_id, target, paths = row[0], -1, row[1]
+                try:
+                    paths = ast.literal_eval(paths)
+                except (ValueError, SyntaxError):
+                    paths = [paths]
+                paths = [os.path.join(self._image_dir(), p) for p in paths]
+                rows.append((image_id, target, paths))
+        return rows
+
+    # -- access --------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.file_list)
+
+    def _target(self, raw) -> float:
+        return float(raw) if self.task == "regression" else int(raw)
+
+    def __getitem__(self, index: int):
+        _, target, paths = self.file_list[index]
+        img = load_channel_stack(paths)
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, self._target(target)
+
+
+# ---------------------------------------------------------------------------
+# SSL pretraining sets (unlabeled; reference custom_datasets.py:153-497)
+class IDRCell100K(CsvManifestDataset):
+    """104k multiplexed microscopy images, 1-10 channels (README.md:51,63)."""
+
+    labeled = False
+    task = "pretrain"
+
+    def _image_dir(self):
+        return os.path.join(self.root_dir, "images")
+
+
+class IDRCell100K_3Channels(IDRCell100K):
+    """First-3-channels baseline variant (reference ``custom_datasets.py:223``)."""
+
+    img_channels = 3
+
+    def __getitem__(self, index: int):
+        _, target, paths = self.file_list[index]
+        img = load_channel_stack(paths)[:, :, :3]
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, self._target(target)
+
+
+class Bray(CsvManifestDataset):
+    """Bray et al. Cell Painting compound dataset (reference ``custom_datasets.py:302``)."""
+
+    labeled = False
+    task = "pretrain"
+    img_channels = 5
+
+
+class BBBC021xBray(CsvManifestDataset):
+    """Joint BBBC021+Bray set for the common-compound UMAP; labels bit-pack
+    (dataset_id, class) as ``dataset_id * 1000 + class`` (reference
+    ``custom_datasets.py:431-435``)."""
+
+    img_channels = 3
+
+    def _target(self, raw) -> int:
+        return int(raw)
+
+
+# ---------------------------------------------------------------------------
+# classification sets
+class BloodMNIST(CsvManifestDataset):
+    img_channels = 3
+    int_to_labels = {
+        0: "basophil", 1: "eosinophil", 2: "erythroblast",
+        3: "immature granulocytes(myelocytes, metamyelocytes and promyelocytes)",
+        4: "lymphocyte", 5: "monocyte", 6: "neutrophil", 7: "platelet",
+    }
+
+
+class BBBC021(CsvManifestDataset):
+    img_channels = 3
+    int_to_labels = {i: f"moa_{i}" for i in range(14)}  # 14 mechanisms of action
+
+
+class BBBC048(CsvManifestDataset):
+    img_channels = 3
+    int_to_labels = {
+        0: "Anaphase", 1: "Metaphase", 2: "Prophase", 3: "Telophase",
+        4: "G1", 5: "G2", 6: "S",
+    }
+
+
+class CyclOPS(CsvManifestDataset):
+    img_channels = 2
+    int_to_labels = {
+        0: "ACTIN", 1: "BUDNECK", 2: "BUDTIP", 3: "CELLPERIPHERY", 4: "CYTOPLASM",
+        5: "ENDOSOME", 6: "ER", 7: "GOLGI", 8: "MITOCHONDRIA", 9: "NUCLEARPERIPHERY",
+        10: "NUCLEI", 11: "NUCLEOLUS", 12: "PEROXISOME", 13: "SPINDLE",
+        14: "SPINDLEPOLE", 15: "VACUOLARMEMBRANE", 16: "VACUOLE",
+    }
+
+
+class TissueMNIST(CsvManifestDataset):
+    img_channels = 1
+    int_to_labels = {
+        0: "Collecting Duct, Connecting Tubule", 1: "Distal Convoluted Tubule",
+        2: "Glomerular endothelial cells", 3: "Interstitial endothelial cells",
+        4: "Leukocytes", 5: "Podocytes", 6: "Proximal Tubule Segments",
+        7: "Thick Ascending Limb",
+    }
+
+
+# ---------------------------------------------------------------------------
+# regression sets (targets are float ratios from the manifest;
+# reference custom_datasets.py:1254-1264)
+class Transloc(CsvManifestDataset):
+    img_channels = 3
+    task = "regression"
+
+
+class MTBenchReg(CsvManifestDataset):
+    img_channels = 3
+    task = "regression"
+
+
+# ---------------------------------------------------------------------------
+class H5Dataset:
+    """HDF5-backed dataset (reference ``custom_datasets.py:39-152``): one file
+    with ``images`` (N, H, W, C) and optional ``labels`` datasets."""
+
+    def __init__(self, h5_path: str, transform: Optional[Callable] = None):
+        import h5py
+
+        self.h5_path = h5_path
+        self.transform = transform
+        self._h5: Optional[object] = None
+        with h5py.File(h5_path, "r") as f:
+            self._len = len(f["images"])
+            self.has_labels = "labels" in f
+
+    def __len__(self):
+        return self._len
+
+    def __getitem__(self, index: int):
+        import h5py
+
+        if self._h5 is None:  # open lazily per worker
+            self._h5 = h5py.File(self.h5_path, "r")
+        img = np.asarray(self._h5["images"][index], np.float32)
+        label = int(self._h5["labels"][index]) if self.has_labels else -1
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, label
+
+
+class SyntheticChannels:
+    """Random mixed-channel dataset for tests and benchmarks."""
+
+    task = "pretrain"
+
+    def __init__(self, n: int = 256, img_size: int = 224, min_channels: int = 1,
+                 max_channels: int = 10, num_classes: int = 7,
+                 transform: Optional[Callable] = None, seed: int = 0):
+        self.n, self.img_size = n, img_size
+        self.min_channels, self.max_channels = min_channels, max_channels
+        self.num_classes = num_classes
+        self.transform = transform
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(self.seed * 1_000_003 + index)
+        c = int(rng.integers(self.min_channels, self.max_channels + 1))
+        img = rng.random((self.img_size, self.img_size, c), dtype=np.float32)
+        label = int(rng.integers(0, self.num_classes))
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, label
+
+
+DATASETS = {
+    "idrcell100k": IDRCell100K,
+    "idrcell100k_3channels": IDRCell100K_3Channels,
+    "bray": Bray,
+    "bbbc021xbray": BBBC021xBray,
+    "bloodmnist": BloodMNIST,
+    "bbbc021": BBBC021,
+    "bbbc048": BBBC048,
+    "cyclops": CyclOPS,
+    "tissuemnist": TissueMNIST,
+    "mtbenchreg": MTBenchReg,
+    "transloc": Transloc,
+    "synthetic": SyntheticChannels,
+}
+
+
+class DatasetWithIndex:
+    """Yields (index, *sample) (reference ``pretrain_dataloader.py:52-67``)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index: int):
+        out = self.dataset[index]
+        return (index, *out) if isinstance(out, tuple) else (index, out)
+
+
+def dataset_with_index(dataset_class):
+    def make(*args, **kwargs):
+        return DatasetWithIndex(dataset_class(*args, **kwargs))
+
+    return make
+
+
+def prepare_datasets(dataset: str, transform: Optional[Callable] = None,
+                     train_path: Optional[str] = None, with_index: bool = False,
+                     train: bool = True, sample_ratio: float = 1.0, **kwargs):
+    """Dataset dispatch (reference ``pretrain_dataloader.py:403-498``)."""
+    cls = DATASETS[dataset]
+    if dataset == "synthetic":
+        ds = cls(transform=transform, **kwargs)
+    else:
+        ds = cls(root_dir=train_path, train=train, transform=transform,
+                 sample_ratio=sample_ratio, **kwargs)
+    return DatasetWithIndex(ds) if with_index else ds

@@ -1,0 +1,187 @@
+"""Host data pipeline: dense static-shape collation + threaded prefetching.
+
+TPU-first redesign of the reference's ragged collate (reference
+``src/data/channels_strategies.py:31-85`` produces ``(sum(c_i), 1, H, W)``
+tensors whose shape changes every batch — a recompile per batch under jit).
+Here every batch is dense ``(B, C_max, H, W)`` float32 with a ``(B,)``
+channel-count vector; padded channel planes are zero. Shapes are static, so
+the train step compiles once.
+
+``HostLoader`` is a threaded prefetcher: worker threads decode+augment+collate
+(PIL/cv2 release the GIL for the heavy parts) while the accelerator consumes
+previous batches. It replaces torch ``DataLoader`` with
+``num_workers``/``pin_memory`` (reference ``pretrain_dataloader.py:499-526``);
+the C++ decode path (:mod:`chadavit_tpu.data.native`) plugs in underneath.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def _to_dense(images: Sequence[np.ndarray], max_channels: int,
+              channels_last: bool = False) -> tuple:
+    """CHW images (HWC when ``channels_last``) with ragged channel counts ->
+    (B, C_max, H, W) + counts."""
+    b = len(images)
+    if channels_last:
+        images = [np.ascontiguousarray(img.transpose(2, 0, 1)) for img in images]
+    h, w = images[0].shape[-2:]
+    out = np.zeros((b, max_channels, h, w), np.float32)
+    counts = np.empty((b,), np.int32)
+    for i, img in enumerate(images):
+        c = min(img.shape[0], max_channels)
+        out[i, :c] = img[:c]
+        counts[i] = c
+    return out, counts
+
+
+def dense_collate(batch: List, max_channels: int,
+                  channels_last: bool = False) -> Dict[str, np.ndarray]:
+    """Collate ``[(img_or_crops, label), ...]`` (optionally ``(idx, img, label)``)
+    into dense arrays. Multi-crop samples produce ``crops`` stacked crop-major
+    ``(num_crops, B, C_max, H, W)`` grouped by crop size; single images produce
+    ``images`` ``(B, C_max, H, W)``.
+
+    Layout contract: augmented samples are CHW (AugmentationPipeline output);
+    raw dataset samples are HWC — pass ``channels_last=True`` for those."""
+    first = batch[0]
+    *_, images, labels_probe = first[-2:]
+    labels = np.asarray([b[-1] for b in batch])
+    if isinstance(labels_probe, (int, float, np.integer, np.floating)):
+        labels = labels.astype(np.float32 if isinstance(labels_probe, float) else np.int32)
+
+    samples = [b[-2] for b in batch]
+    if isinstance(samples[0], list):  # multi-crop
+        num_crops = len(samples[0])
+        sizes = [c.shape[-1] for c in samples[0]]
+        big = sizes[0]
+        large_idx = [i for i, s in enumerate(sizes) if s == big]
+        small_idx = [i for i, s in enumerate(sizes) if s != big]
+        out: Dict[str, np.ndarray] = {"labels": labels}
+
+        def stack(idxs):
+            crops, counts = [], None
+            for ci in idxs:
+                dense, counts = _to_dense([s[ci] for s in samples], max_channels,
+                                          channels_last)
+                crops.append(dense)
+            return np.stack(crops, 0), counts
+
+        out["crops"], out["channel_counts"] = stack(large_idx)
+        if small_idx:
+            out["small_crops"], _ = stack(small_idx)
+        assert len(large_idx) + len(small_idx) == num_crops
+        return out
+
+    dense, counts = _to_dense(samples, max_channels, channels_last)
+    return {"images": dense, "channel_counts": counts, "labels": labels}
+
+
+def one_channel_flatten(images: np.ndarray, channel_counts: np.ndarray) -> np.ndarray:
+    """Dense (B, C_max, H, W) -> reference-style ragged (sum(c_i), 1, H, W)
+    (the inverse of densify; for `one_channel` strategy code paths)."""
+    planes = [images[i, :c] for i, c in enumerate(channel_counts)]
+    return np.concatenate(planes, axis=0)[:, None]
+
+
+class _WorkerError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+class HostLoader:
+    """Threaded prefetching batch loader with deterministic per-epoch order."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        max_channels: int,
+        collate_fn: Optional[Callable] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: int = 0,
+        channels_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_channels = max_channels
+        self.collate_fn = collate_fn or (
+            lambda b: dense_collate(b, max_channels, channels_last))
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        nb = len(self)
+        return [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        it_lock = threading.Lock()
+        idx_iter = iter(enumerate(batches))
+        results: Dict[int, Dict] = {}
+        res_lock = threading.Lock()
+        next_emit = [0]
+
+        def worker():
+            try:
+                while not stop.is_set():
+                    with it_lock:
+                        try:
+                            bi, idxs = next(idx_iter)
+                        except StopIteration:
+                            return
+                    samples = [self.dataset[int(i)] for i in idxs]
+                    batch = self.collate_fn(samples)
+                    # emit strictly in batch order; puts stay inside the lock so
+                    # two workers cannot interleave their ready prefixes
+                    with res_lock:
+                        results[bi] = batch
+                        while next_emit[0] in results:
+                            out_q.put(results.pop(next_emit[0]))
+                            next_emit[0] += 1
+            except BaseException as e:  # propagate to the consumer
+                out_q.put(_WorkerError(e))
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(len(batches)):
+                item = out_q.get()
+                if isinstance(item, _WorkerError):
+                    stop.set()
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()
+        self.epoch += 1
+
+
+def prepare_dataloader(dataset, batch_size: int, max_channels: int, **kwargs) -> HostLoader:
+    """Name-compatible factory (reference ``pretrain_dataloader.py:499``)."""
+    return HostLoader(dataset, batch_size=batch_size, max_channels=max_channels, **kwargs)

@@ -1,0 +1,267 @@
+"""Channel-count-agnostic augmentations, numpy/cv2-based.
+
+Re-implements the semantics of the reference's albumentations pipeline for
+multichannel microscopy (reference ``src/data/pretrain_dataloader.py:230-328``
+and ``src/data/custom_transforms.py``) without albumentations:
+
+- images are HWC float32 with any channel count;
+- ``CustomColorJitter`` is the paper's microscopy jitter: an independent
+  per-channel intensity shift followed by a brightness blend toward zero with
+  per-channel gamma, clamped to [0, 1] (reference ``custom_transforms.py:313-351``);
+- geometric ops (RRC, flip, resize) apply to all channels jointly; photometric
+  ops are per-channel.
+
+Each op is a callable ``(img, rng) -> img``; ``AugmentationPipeline`` composes
+them from the same YAML node schema the reference uses, and
+``NCropAugmentation`` / ``FullTransformPipeline`` reproduce the multi-crop
+wrappers (reference ``pretrain_dataloader.py:132-228``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+Array = np.ndarray
+Rng = np.random.Generator
+
+
+def _resize(img: Array, h: int, w: int) -> Array:
+    if cv2 is not None:
+        out = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+        if out.ndim == 2:
+            out = out[:, :, None]
+        return out
+    # nearest fallback
+    ys = (np.arange(h) * img.shape[0] / h).astype(int)
+    xs = (np.arange(w) * img.shape[1] / w).astype(int)
+    return img[ys][:, xs]
+
+
+class RandomResizedCrop:
+    def __init__(self, size: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+        self.size, self.scale, self.ratio = size, scale, ratio
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        h, w = img.shape[:2]
+        area = h * w
+        for _ in range(10):
+            target = rng.uniform(*self.scale) * area
+            log_r = rng.uniform(np.log(self.ratio[0]), np.log(self.ratio[1]))
+            ar = np.exp(log_r)
+            cw = int(round(np.sqrt(target * ar)))
+            ch = int(round(np.sqrt(target / ar)))
+            if 0 < cw <= w and 0 < ch <= h:
+                y = rng.integers(0, h - ch + 1)
+                x = rng.integers(0, w - cw + 1)
+                return _resize(img[y : y + ch, x : x + cw], self.size, self.size)
+        return _resize(img, self.size, self.size)  # fallback: full-image resize
+
+
+class Resize:
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        return _resize(img, self.size, self.size)
+
+
+class CustomColorJitter:
+    """Per-channel intensity shift + gamma/brightness blend (reference
+    ``custom_transforms.py:301-367``; defaults shift +-0.3, gamma 0.5-1.5)."""
+
+    def __init__(self, int_min_shift=-0.3, int_max_shift=0.3,
+                 gamma_min=0.5, gamma_max=1.5, p=0.5):
+        self.int_min_shift, self.int_max_shift = int_min_shift, int_max_shift
+        self.gamma_min, self.gamma_max = gamma_min, gamma_max
+        self.p = p
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        if rng.random() >= self.p:
+            return img
+        c = img.shape[-1]
+        shifts = rng.uniform(self.int_min_shift, self.int_max_shift, c).astype(np.float32)
+        gammas = rng.uniform(self.gamma_min, self.gamma_max, c).astype(np.float32)
+        out = (img + shifts) * gammas  # shift then brightness blend toward zero
+        return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+class ToGray:
+    """Mean over channels broadcast back to every channel (channel-agnostic
+    analogue of A.ToGray used at grayscale.prob, ``pretrain_dataloader.py:303``)."""
+
+    def __init__(self, p=0.2):
+        self.p = p
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        if rng.random() >= self.p:
+            return img
+        g = img.mean(axis=-1, keepdims=True)
+        return np.repeat(g, img.shape[-1], axis=-1).astype(img.dtype)
+
+
+class GaussianBlur:
+    def __init__(self, p=0.5, sigma=(0.1, 2.0)):
+        self.p, self.sigma = p, sigma
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        if rng.random() >= self.p:
+            return img
+        s = rng.uniform(*self.sigma)
+        if cv2 is not None:
+            out = cv2.GaussianBlur(img, (0, 0), sigmaX=s, sigmaY=s)
+            if out.ndim == 2:
+                out = out[:, :, None]
+            return out
+        return img
+
+
+class Solarization:
+    """Invert pixels above a threshold (reference ``pretrain_dataloader.py:113-127``)."""
+
+    def __init__(self, p=0.0, threshold=0.5):
+        self.p, self.threshold = p, threshold
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        if rng.random() >= self.p:
+            return img
+        return np.where(img >= self.threshold, 1.0 - img, img).astype(img.dtype)
+
+
+class Equalization:
+    """Per-channel histogram equalization on the [0,1] range (reference
+    ``pretrain_dataloader.py:128-131`` / A.Equalize)."""
+
+    def __init__(self, p=0.0, bins=256):
+        self.p, self.bins = p, bins
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        if rng.random() >= self.p:
+            return img
+        out = np.empty_like(img)
+        for c in range(img.shape[-1]):
+            ch = img[..., c]
+            hist, edges = np.histogram(np.clip(ch, 0, 1), bins=self.bins, range=(0, 1))
+            cdf = hist.cumsum().astype(np.float64)
+            if cdf[-1] == 0:
+                out[..., c] = ch
+                continue
+            cdf /= cdf[-1]
+            idx = np.clip((ch * (self.bins - 1)).astype(int), 0, self.bins - 1)
+            out[..., c] = cdf[idx].astype(img.dtype)
+        return out
+
+
+class HorizontalFlip:
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        return img[:, ::-1] if rng.random() < self.p else img
+
+
+class Normalize:
+    def __init__(self, mean: Sequence[float], std: Sequence[float], p=1.0):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.p = p
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        if rng.random() >= self.p:
+            return img
+        c = img.shape[-1]
+        mean = np.resize(self.mean, c)
+        std = np.resize(self.std, c)
+        return ((img - mean) / std).astype(np.float32)
+
+
+class AugmentationPipeline:
+    """Compose ops from a reference-format augmentation YAML node (the schema
+    documented at ``pretrain_dataloader.py:231-256``); output is CHW float32."""
+
+    def __init__(self, cfg: dict, seed: Optional[int] = None):
+        self.ops: List[Callable] = []
+        g = lambda k, d=None: cfg.get(k, d) if isinstance(cfg, dict) else getattr(cfg, k, d)  # noqa: E731
+
+        crop_size = g("crop_size", 224)
+        rrc = g("rrc", {}) or {}
+        if rrc.get("enabled", False):
+            self.ops.append(RandomResizedCrop(
+                crop_size,
+                scale=(rrc.get("crop_min_scale", 0.08), rrc.get("crop_max_scale", 1.0)),
+            ))
+        else:
+            self.ops.append(Resize(crop_size))
+
+        cj = g("color_jitter", {}) or {}
+        if cj.get("prob", 0):
+            self.ops.append(CustomColorJitter(
+                int_min_shift=cj.get("int_min_shift", -0.3),
+                int_max_shift=cj.get("int_max_shift", 0.3),
+                gamma_min=cj.get("gamma_min", 0.5),
+                gamma_max=cj.get("gamma_max", 1.5),
+                p=cj.get("prob", 0.8),
+            ))
+        gs = g("grayscale", {}) or {}
+        if gs.get("prob", 0):
+            self.ops.append(ToGray(p=gs["prob"]))
+        gb = g("gaussian_blur", {}) or {}
+        if gb.get("prob", 0):
+            self.ops.append(GaussianBlur(p=gb["prob"]))
+        sol = g("solarization", {}) or {}
+        if sol.get("prob", 0):
+            self.ops.append(Solarization(p=sol["prob"]))
+        eq = g("equalization", {}) or {}
+        if eq.get("prob", 0):
+            self.ops.append(Equalization(p=eq["prob"]))
+        hf = g("horizontal_flip", {}) or {}
+        if hf.get("prob", 0):
+            self.ops.append(HorizontalFlip(p=hf["prob"]))
+        norm = g("normalize", None)
+        if norm:
+            self.ops.append(Normalize(norm.get("mean", [0.0]), norm.get("std", [1.0]),
+                                      p=norm.get("prob", 1.0)))
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, img: Array, rng: Optional[Rng] = None) -> Array:
+        rng = rng or self.rng
+        img = np.asarray(img, np.float32)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        for op in self.ops:
+            img = op(img, rng)
+        return np.ascontiguousarray(img.transpose(2, 0, 1))  # CHW
+
+
+class NCropAugmentation:
+    """Apply one pipeline N times (reference ``pretrain_dataloader.py:132-158``)."""
+
+    def __init__(self, transform: Callable, num_crops: int):
+        self.transform, self.num_crops = transform, num_crops
+
+    def __call__(self, img: Array, rng: Optional[Rng] = None) -> List[Array]:
+        return [self.transform(img, rng) for _ in range(self.num_crops)]
+
+
+class FullTransformPipeline:
+    """Concatenate several NCrop pipelines (reference ``pretrain_dataloader.py:186-228``)."""
+
+    def __init__(self, transforms: Sequence[NCropAugmentation]):
+        self.transforms = list(transforms)
+
+    def __call__(self, img: Array, rng: Optional[Rng] = None) -> List[Array]:
+        out: List[Array] = []
+        for t in self.transforms:
+            out.extend(t(img, rng))
+        return out
+
+
+def build_transform_pipeline(dataset: str, cfg: dict, seed: Optional[int] = None) -> AugmentationPipeline:
+    """Name-compatible factory (reference ``pretrain_dataloader.py:230``)."""
+    return AugmentationPipeline(cfg, seed=seed)

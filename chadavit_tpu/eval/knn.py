@@ -1,0 +1,150 @@
+"""Weighted k-NN evaluation as pure-JAX chunked matmuls (reference
+``src/utils/knn.py:27-177``).
+
+Semantics preserved:
+- cosine distance: L2-normalized features, weights ``exp(sim / T)``;
+- euclidean distance: weights ``1 / (dist + eps)``;
+- chunked distance matrix capped at ``max_distance_matrix_size`` elements
+  (``knn.py:123-126``);
+- returns (top1, top5) percentages; top-5 counts a hit if the target appears in
+  the first ``min(5, k)`` ranked predictions (``knn.py:162-169``).
+
+The distance matmuls run jitted on the accelerator; the loop over chunks is a
+host loop over static shapes (one compile per chunk shape, i.e. at most two).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_classes", "distance_fx"))
+def _knn_chunk(
+    test_feats: jnp.ndarray,
+    train_feats: jnp.ndarray,
+    train_targets: jnp.ndarray,
+    T: jnp.ndarray,
+    k: int,
+    num_classes: int,
+    distance_fx: str,
+    epsilon: float = 1e-5,
+):
+    if distance_fx == "cosine":
+        sims = jnp.dot(test_feats, train_feats.T, preferred_element_type=jnp.float32)
+    else:
+        d2 = (
+            jnp.sum(test_feats**2, 1, keepdims=True)
+            - 2 * jnp.dot(test_feats, train_feats.T, preferred_element_type=jnp.float32)
+            + jnp.sum(train_feats**2, 1)[None, :]
+        )
+        sims = 1.0 / (jnp.sqrt(jnp.maximum(d2, 0.0)) + epsilon)
+
+    sims_k, idx = jax.lax.top_k(sims, k)
+    neighbors = train_targets[idx]  # (B, k)
+    if distance_fx == "cosine":
+        weights = jnp.exp(sims_k / T)
+    else:
+        weights = sims_k
+    one_hot = jax.nn.one_hot(neighbors, num_classes, dtype=jnp.float32)
+    probs = jnp.sum(one_hot * weights[..., None], axis=1)  # (B, num_classes)
+    order = jnp.argsort(-probs, axis=1)
+    return order
+
+
+class WeightedKNNClassifier:
+    """Accumulate train/test features then compute top1/top5 (reference API)."""
+
+    def __init__(self, k: int = 20, T: float = 0.07,
+                 max_distance_matrix_size: int = int(5e6),
+                 distance_fx: str = "cosine", epsilon: float = 1e-5,
+                 num_classes: Optional[int] = None):
+        self.k, self.T = k, T
+        self.max_distance_matrix_size = max_distance_matrix_size
+        self.distance_fx = distance_fx
+        self.epsilon = epsilon
+        self.num_classes = num_classes
+        self._train_f, self._train_t, self._test_f, self._test_t = [], [], [], []
+
+    def update(self, train_features=None, train_targets=None,
+               test_features=None, test_targets=None):
+        assert (train_features is None) == (train_targets is None)
+        assert (test_features is None) == (test_targets is None)
+        if train_features is not None:
+            self._train_f.append(np.asarray(train_features))
+            self._train_t.append(np.asarray(train_targets))
+        if test_features is not None:
+            self._test_f.append(np.asarray(test_features))
+            self._test_t.append(np.asarray(test_targets))
+
+    def compute(self) -> Tuple[float, float]:
+        if not self._train_f or not self._test_f:
+            return -1.0, -1.0
+        train_f = np.concatenate(self._train_f).astype(np.float32)
+        train_t = np.concatenate(self._train_t).astype(np.int32)
+        test_f = np.concatenate(self._test_f).astype(np.float32)
+        test_t = np.concatenate(self._test_t).astype(np.int32)
+        top1, top5 = knn_classify(
+            train_f, train_t, test_f, test_t,
+            k=self.k, T=self.T, distance_fx=self.distance_fx,
+            max_distance_matrix_size=self.max_distance_matrix_size,
+            epsilon=self.epsilon, num_classes=self.num_classes,
+        )
+        self.reset()
+        return top1, top5
+
+    def reset(self):
+        self._train_f, self._train_t, self._test_f, self._test_t = [], [], [], []
+
+    __call__ = update
+
+
+def knn_classify(
+    train_features: np.ndarray,
+    train_targets: np.ndarray,
+    test_features: np.ndarray,
+    test_targets: np.ndarray,
+    k: int = 20,
+    T: float = 0.07,
+    distance_fx: str = "cosine",
+    max_distance_matrix_size: int = int(5e6),
+    epsilon: float = 1e-5,
+    num_classes: Optional[int] = None,
+) -> Tuple[float, float]:
+    """Functional weighted k-NN; returns (top1%, top5%)."""
+    if num_classes is None:
+        num_classes = int(np.unique(test_targets).size)
+    n_train, n_test = len(train_targets), len(test_targets)
+    k = min(k, n_train)
+
+    if distance_fx == "cosine":
+        def norm(x):
+            return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        train_features, test_features = norm(train_features), norm(test_features)
+
+    chunk = min(max(1, max_distance_matrix_size // max(n_train, 1)), n_test)
+    train_f = jnp.asarray(train_features)
+    train_t = jnp.asarray(train_targets)
+    T_arr = jnp.asarray(T, jnp.float32)
+
+    top1 = top5 = total = 0
+    for s in range(0, n_test, chunk):
+        e = min(s + chunk, n_test)
+        feats = test_features[s:e]
+        pad = chunk - (e - s)
+        if pad:  # keep one compiled shape
+            feats = np.concatenate([feats, np.zeros((pad, feats.shape[1]), feats.dtype)])
+        order = np.asarray(_knn_chunk(
+            jnp.asarray(feats), train_f, train_t, T_arr, k, num_classes, distance_fx, epsilon
+        ))[: e - s]
+        targets = test_targets[s:e]
+        correct = order == targets[:, None]
+        top1 += int(correct[:, 0].sum())
+        top5 += int(correct[:, : min(5, k, correct.shape[1])].any(axis=1).sum())
+        total += e - s
+
+    return top1 * 100.0 / total, top5 * 100.0 / total

@@ -1,0 +1,78 @@
+"""Config system: reference YAMLs parse unchanged and the defaulting rules
+(lr scaling, crop counting, optimizer kwargs) match the reference parsers."""
+
+import numpy as np
+
+from chadavit_tpu.config import Config, load_yaml, parse_knn_cfg, parse_pretrain_cfg, select
+
+REF_YAML = "/root/reference/scripts/knn/bbbc048/dino_chada_vit_moyen.yaml"
+
+
+def test_load_reference_yaml_with_composition():
+    cfg = load_yaml(REF_YAML)
+    assert cfg.method == "dino"
+    assert cfg.backbone.name == "vit_channels"
+    assert cfg.backbone.kwargs.embed_dim == 192
+    # hydra defaults composition pulled in the augmentations file
+    assert isinstance(cfg.augmentations, list) and len(cfg.augmentations) == 2
+    assert cfg.augmentations[0]["crop_size"] == 224
+
+
+def test_parse_pretrain_rules():
+    cfg = load_yaml(REF_YAML)
+    cfg.data.train_path = "/nonexistent"
+    base_lr = cfg.optimizer.lr
+    base_clf = cfg.optimizer.classifier_lr
+    cfg = parse_pretrain_cfg(cfg)
+
+    # lr scaling rule: batch 8 * 2 devices * 1 node / 256 (args/pretrain.py:204-207)
+    scale = 8 * 2 * 1 / 256
+    np.testing.assert_allclose(cfg.optimizer.lr, base_lr * scale)
+    np.testing.assert_allclose(cfg.optimizer.classifier_lr, base_clf * scale)
+
+    # crop counting: two pipelines, same crop_size, num_crops 1 each
+    assert cfg.data.num_large_crops == 2
+    assert cfg.data.num_small_crops == 0
+
+    # optimizer kwargs defaults for lars (args/pretrain.py:220-228);
+    # yaml sets clip_lr/eta/exclude explicitly, momentum defaults to 0.9
+    assert cfg.optimizer.kwargs.momentum == 0.9
+    assert cfg.optimizer.kwargs.clip_lr is True
+    assert cfg.optimizer.kwargs.eta == 0.02
+
+    # dino method defaults (dino.py:197-223)
+    assert cfg.method_kwargs.student_temperature == 0.1
+    assert cfg.method_kwargs.teacher_temperature == 0.07
+    assert cfg.method_kwargs.warmup_teacher_temperature_epochs == 50
+    assert cfg.data.num_classes == 7  # bbbc048
+
+    # scheduler defaults (base.py)
+    assert cfg.scheduler.warmup_epochs == 10
+    assert cfg.scheduler.warmup_start_lr == 3e-5
+
+
+def test_parse_knn_grid_defaults():
+    cfg = load_yaml(REF_YAML)
+    cfg.data.train_path = "/nonexistent"
+    cfg = parse_knn_cfg(cfg)
+    assert cfg.knn_eval_offline.k == [1, 2, 5, 10, 20, 50, 100, 200]
+    assert cfg.knn_eval_offline.distance_function == ["cosine", "euclidean"]
+
+
+def test_select_none_string():
+    cfg = Config({"a": {"b": "None"}})
+    assert select(cfg, "a.b", 5) is None
+    assert select(cfg, "a.missing", 7) == 7
+    assert cfg.a.missing == 7  # default written back
+
+
+def test_args_json_roundtrip(tmp_path):
+    from chadavit_tpu.config import save_args_json
+
+    cfg = load_yaml(REF_YAML)
+    p = tmp_path / "args.json"
+    save_args_json(cfg, str(p))
+    import json
+
+    loaded = json.loads(p.read_text())
+    assert loaded["backbone"]["kwargs"]["patch_size"] == 16
