@@ -21,6 +21,26 @@ from typing import Any, List, Optional
 
 import yaml
 
+
+class _Loader(yaml.SafeLoader):
+    """SafeLoader + correct float parsing: pyyaml's YAML-1.1 resolver treats
+    '1e-6' (no dot) as a string; register the full scientific-notation regex."""
+
+
+_Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    __import__("re").compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        __import__("re").X,
+    ),
+    list("-+0123456789."),
+)
+
+
 # reference args/pretrain.py:23-34
 N_CLASSES_PER_DATASET = {
     "cifar10": 10,
@@ -40,6 +60,7 @@ SUPPORTED_DATASETS = [
     "cifar10", "cifar100", "stl10", "imagenet", "imagenet100",
     "idrcell100k", "idrcell100k_3channels", "bloodmnist", "bbbc021",
     "bbbc048", "cyclops", "tissuemnist", "mtbenchreg", "bray",
+    "bbbc021xbray", "synthetic",  # rebuild additions: UMAP joint set + smoke data
 ]
 
 
@@ -102,7 +123,7 @@ def load_yaml(path: str) -> Config:
     """Load a YAML config, resolving the minimal Hydra composition used by the
     reference configs (a ``defaults:`` list with an augmentations file)."""
     with open(path) as f:
-        raw = yaml.safe_load(f) or {}
+        raw = yaml.load(f, Loader=_Loader) or {}
     cfg = _wrap(raw)
     base_dir = os.path.dirname(os.path.abspath(path))
     for entry in cfg.pop("defaults", []) or []:
@@ -116,7 +137,7 @@ def load_yaml(path: str) -> Config:
                 sub_path += ".yaml"
             if os.path.exists(sub_path):
                 with open(sub_path) as f:
-                    sub = yaml.safe_load(f)
+                    sub = yaml.load(f, Loader=_Loader)
                 cfg[group] = _wrap(sub)
     cfg.pop("hydra", None)
     return cfg
@@ -205,6 +226,8 @@ def _scheduler_defaults(cfg: Config):
 
 def _num_classes(cfg: Config):
     ds = cfg.data.dataset
+    if cfg.data.get("num_classes") is not None:
+        return  # explicitly configured
     if ds in N_CLASSES_PER_DATASET:
         cfg.data.num_classes = N_CLASSES_PER_DATASET[ds]
     else:

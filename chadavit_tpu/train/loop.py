@@ -1,0 +1,160 @@
+"""Training loop orchestration: config -> data -> jitted step -> checkpoints.
+
+The TPU-native replacement for Lightning's ``Trainer.fit`` (reference
+``main_pretrain.py:290-329``): a plain Python loop around the single jitted
+DINO step, with HostLoader prefetching, orbax checkpoints + auto-resume,
+offline metric logging, and optional online kNN evaluation."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chadavit_tpu.config import Config
+from chadavit_tpu.data import (
+    FullTransformPipeline,
+    HostLoader,
+    NCropAugmentation,
+    build_transform_pipeline,
+    prepare_datasets,
+)
+from chadavit_tpu.parallel.mesh import make_mesh
+from chadavit_tpu.train.pretrain import DinoPretrainSpec, build_dino
+from chadavit_tpu.utils.checkpoint import AutoResumer, Checkpointer, restore_pytree
+from chadavit_tpu.utils.logging import MetricLogger
+from chadavit_tpu.utils.profiling import StepTimer
+
+
+def spec_from_cfg(cfg: Config, steps_per_epoch: int) -> DinoPretrainSpec:
+    """Map a parsed pretrain config onto the step spec."""
+    bk = dict(cfg.backbone.get("kwargs", {}))
+    mk = cfg.get("method_kwargs", {})
+    opt = cfg.optimizer
+    sched = cfg.scheduler
+    dtype = jnp.bfloat16 if str(cfg.get("precision", "bf16")).startswith("bf16") else jnp.float32
+    return DinoPretrainSpec(
+        backbone=cfg.backbone.name,
+        backbone_kwargs=bk,
+        img_size=cfg.get("augmentations", [{}])[0].get("crop_size", 224) if cfg.get("augmentations") else 224,
+        max_channels=bk.get("max_number_channels", cfg.data.get("max_img_channels", 10)),
+        proj_hidden_dim=mk.get("proj_hidden_dim", 2048),
+        proj_output_dim=mk.get("proj_output_dim", 256),
+        num_prototypes=mk.get("num_prototypes", 4096),
+        use_bn_in_head=mk.get("use_bn_in_head", False),
+        norm_last_layer=mk.get("norm_last_layer", True),
+        student_temperature=mk.get("student_temperature", 0.1),
+        teacher_temperature=mk.get("teacher_temperature", 0.07),
+        warmup_teacher_temperature=mk.get("warmup_teacher_temperature", 0.04),
+        warmup_teacher_temperature_epochs=mk.get("warmup_teacher_temperature_epochs", 0),
+        clip_grad=mk.get("clip_grad", 0),
+        freeze_last_layer=mk.get("freeze_last_layer", 1),
+        base_tau=cfg.momentum.base_tau,
+        final_tau=cfg.momentum.final_tau,
+        optimizer=opt.name,
+        lr=opt.lr,
+        weight_decay=opt.weight_decay,
+        optimizer_kwargs=dict(opt.get("kwargs", {})),
+        exclude_bias_n_norm_wd=opt.get("exclude_bias_n_norm_wd", False),
+        warmup_epochs=sched.warmup_epochs,
+        warmup_start_lr=sched.warmup_start_lr if sched.warmup_epochs > 0 else opt.lr,
+        min_lr=sched.min_lr,
+        num_large_crops=cfg.data.num_large_crops,
+        max_epochs=cfg.max_epochs,
+        steps_per_epoch=steps_per_epoch,
+        dtype=dtype,
+    )
+
+
+def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
+    """Multi-crop SSL loader from the config's augmentation pipelines
+    (reference ``main_pretrain.py:101-136``)."""
+    pipelines = [
+        NCropAugmentation(
+            build_transform_pipeline(cfg.data.dataset, aug, seed=seed + i),
+            aug.get("num_crops", 1),
+        )
+        for i, aug in enumerate(cfg.get("augmentations", []))
+    ]
+    transform = FullTransformPipeline(pipelines)
+    dataset = prepare_datasets(
+        cfg.data.dataset,
+        transform=transform,
+        train_path=cfg.data.get("train_path"),
+        train=True,
+        sample_ratio=cfg.data.get("sample_ratio", 1.0),
+        **(dict(n=cfg.data.get("size", 256), img_size=cfg["augmentations"][0]["crop_size"],
+                max_channels=cfg.data.get("max_img_channels", 10))
+           if cfg.data.dataset == "synthetic" else {}),
+    )
+    max_channels = (cfg.backbone.get("kwargs", {}).get("max_number_channels")
+                    or cfg.data.get("max_img_channels", 10))
+    return HostLoader(
+        dataset,
+        batch_size=cfg.optimizer.batch_size,
+        max_channels=max_channels,
+        num_workers=cfg.data.get("num_workers", 4),
+        seed=seed,
+    )
+
+
+def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
+    """Full DINO pretraining (the ``main_pretrain.py`` engine). Returns final
+    metrics. ``max_steps`` truncates for smoke tests."""
+    seed = cfg.get("seed") or 5
+    loader = build_pretrain_loader(cfg, seed=seed)
+    steps_per_epoch = max(len(loader), 1)
+    spec = spec_from_cfg(cfg, steps_per_epoch)
+
+    mesh = make_mesh(n_model=1)
+    state, train_step, model, head = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(seed))
+
+    # checkpointing + auto-resume (reference main_pretrain.py:211-230)
+    ckptr = None
+    start_epoch = 0
+    if cfg.checkpoint.enabled:
+        resume_path = cfg.get("resume_from_checkpoint")
+        run_id = None
+        if resume_path is None and cfg.auto_resume.enabled:
+            resume_path, run_id = AutoResumer(
+                checkpoint_dir=os.path.join(cfg.checkpoint.dir, cfg.get("method", "dino")),
+                max_hours=cfg.auto_resume.get("max_hours", 36),
+            ).find_checkpoint(cfg)
+        if resume_path:
+            state = restore_pytree(resume_path, state)
+            start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
+            print(f"auto-resumed from {resume_path} at epoch {start_epoch}")
+        ckptr = Checkpointer(cfg, base_dir=cfg.checkpoint.dir,
+                             frequency=cfg.checkpoint.frequency,
+                             keep_prev=cfg.checkpoint.get("keep_prev", False),
+                             run_id=run_id)
+
+    logger = MetricLogger(ckptr.path if ckptr else ".", stdout_every=cfg.get("log_every", 50))
+    timer = StepTimer()
+
+    metrics = {}
+    done = 0
+    for epoch in range(start_epoch, cfg.max_epochs):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            dev_batch = {
+                "crops": jnp.asarray(batch["crops"], spec.dtype),
+                "channel_counts": jnp.asarray(batch["channel_counts"]),
+            }
+            state, metrics = train_step(state, dev_batch)
+            timer.tick()
+            done += 1
+            if done % cfg.get("log_every", 50) == 0:
+                logger.log({**{k: float(v) for k, v in metrics.items()},
+                            **timer.summary(cfg.optimizer.batch_size)},
+                           step=int(jax.device_get(state.step)))
+            if max_steps and done >= max_steps:
+                if ckptr:
+                    ckptr.save(jax.device_get(state), epoch)
+                return {k: float(v) for k, v in metrics.items()}
+        if ckptr:
+            ckptr.save(jax.device_get(state), epoch)
+    return {k: float(v) for k, v in metrics.items()}

@@ -1,0 +1,151 @@
+"""Linear probe / finetune evaluation (reference ``main_linear.py``).
+
+Frozen-or-finetuned backbone + linear classifier with CE (label smoothing /
+mixup / cutmix options), warmup-cosine schedule, full metric suite +
+confusion-matrix heatmap (reference ``src/methods/linear.py``)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from chadavit_tpu.cli import load_backbone_for_eval, load_cfg
+from chadavit_tpu.config import parse_linear_cfg
+from chadavit_tpu.data.classification import dataset_img_channels, prepare_data
+from chadavit_tpu.eval.features import features_dim, make_feature_fn
+from chadavit_tpu.eval.metrics import classification_suite, confusion_matrix, plot_confusion_matrix
+from chadavit_tpu.eval.probe import ProbeStepConfig, make_probe_eval_step, make_probe_train_step
+from chadavit_tpu.train.optim import build_group_tx, grouped_optimizer
+from chadavit_tpu.train.schedules import warmup_cosine_lr
+from chadavit_tpu.train.state import ProbeState
+from chadavit_tpu.utils.logging import MetricLogger
+
+
+def build_probe(cfg, model, params, steps_per_epoch, task="classification"):
+    import functools
+
+    bk = cfg.backbone.get("kwargs", {})
+    img_channels = cfg.data.get("img_channels", dataset_img_channels(cfg.data.dataset))
+    feature_fn = make_feature_fn(
+        model, cfg.get("channels_strategy"),
+        return_all_tokens=bk.get("return_all_tokens", False),
+        mixed_channels=cfg.get("mixed_channels", False),
+        img_channels=img_channels,
+    )
+    num_out = 1 if task == "regression" else cfg.data.num_classes
+    feats_dim = features_dim(cfg.get("channels_strategy"), bk.get("embed_dim", 192),
+                             getattr(model, "num_patches", 196), img_channels,
+                             bk.get("return_all_tokens", False))
+    clf = nn.Dense(num_out)
+    cparams = clf.init(jax.random.PRNGKey(1), jnp.zeros((1, feats_dim)))["params"]
+
+    total_steps = cfg.max_epochs * steps_per_epoch
+    warmup_steps = int(cfg.scheduler.warmup_epochs * steps_per_epoch)
+    mk_sched = lambda lr: functools.partial(  # noqa: E731
+        warmup_cosine_lr, base_lr=lr, total_steps=total_steps, warmup_steps=warmup_steps,
+        warmup_start_lr=cfg.scheduler.warmup_start_lr, min_lr=cfg.scheduler.min_lr)
+    groups = {
+        "backbone": build_group_tx(cfg.optimizer.name, mk_sched(cfg.optimizer.lr),
+                                   cfg.optimizer.weight_decay, dict(cfg.optimizer.get("kwargs", {})),
+                                   cfg.optimizer.get("exclude_bias_n_norm_wd", False)),
+        # classifier group: own lr, weight decay 0 (reference base.py:406-414)
+        "classifier": build_group_tx(cfg.optimizer.name,
+                                     mk_sched(cfg.optimizer.get("classifier_lr", cfg.optimizer.lr)),
+                                     0.0, dict(cfg.optimizer.get("kwargs", {}))),
+    }
+    labels = {"backbone": jax.tree.map(lambda _: "backbone", params),
+              "classifier": jax.tree.map(lambda _: "classifier", cparams)}
+    tx = grouped_optimizer(groups, labels)
+    state = ProbeState.create(params, cparams, tx.init({"backbone": params, "classifier": cparams}))
+
+    step_cfg = ProbeStepConfig(
+        finetune=bool(cfg.get("finetune", False)),
+        task=task,
+        num_classes=num_out,
+        label_smoothing=cfg.get("label_smoothing", 0.0),
+        mixup=cfg.get("mixup", 0.0),
+        cutmix=cfg.get("cutmix", 0.0),
+    )
+    clf_apply = lambda p, f: clf.apply({"params": p}, f)  # noqa: E731
+    train_step = jax.jit(make_probe_train_step(feature_fn, clf_apply, tx, step_cfg))
+    eval_step = make_probe_eval_step(feature_fn, clf_apply)
+    return state, train_step, eval_step
+
+
+def run_probe(cfg, task="classification"):
+    model, params = load_backbone_for_eval(cfg)
+    bk = cfg.backbone.get("kwargs", {})
+    img_channels = cfg.data.get("img_channels", dataset_img_channels(cfg.data.dataset))
+    max_channels = (bk.get("max_number_channels", img_channels)
+                    if cfg.backbone.name in ("vit_channels", "chada_vit") else img_channels)
+    train_loader, val_loader = prepare_data(
+        cfg.data.dataset,
+        train_path=cfg.data.get("train_path"),
+        val_path=cfg.data.get("val_path"),
+        batch_size=cfg.optimizer.batch_size,
+        max_channels=max_channels,
+        num_workers=cfg.data.get("num_workers", 4),
+        crop_size=cfg.data.get("augmentations", {}).get("crop_size", 224),
+        sample_ratio=cfg.data.get("sample_ratio", 1.0),
+    )
+    steps_per_epoch = max(len(train_loader), 1)
+    state, train_step, eval_step = build_probe(cfg, model, params, steps_per_epoch, task)
+
+    logger = MetricLogger(".", name=f"{cfg.name}_probe_logs.txt")
+    rng = jax.random.PRNGKey(cfg.get("seed") or 5)
+    max_steps = cfg.get("max_steps")
+    done = 0
+    for epoch in range(cfg.max_epochs):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            rng, sub = jax.random.split(rng)
+            dev = {"images": jnp.asarray(batch["images"]),
+                   "channel_counts": jnp.asarray(batch["channel_counts"]),
+                   "labels": jnp.asarray(batch["labels"])}
+            state, metrics = train_step(state, dev, sub)
+            done += 1
+            if done % cfg.get("log_every", 50) == 0:
+                logger.log({k: float(v) for k, v in metrics.items()}, step=done)
+            if max_steps and done >= max_steps:
+                break
+        if max_steps and done >= max_steps:
+            break
+
+    # ---- validation: full metric suite (reference linear.py:577-628) ----
+    results = {}
+    if val_loader is not None:
+        logits_all, targets_all = [], []
+        for batch in val_loader:
+            logits = eval_step(state.backbone, state.classifier,
+                               jnp.asarray(batch["images"]),
+                               jnp.asarray(batch["channel_counts"]))
+            logits_all.append(np.asarray(logits))
+            targets_all.append(np.asarray(batch["labels"]))
+        logits_all = np.concatenate(logits_all)
+        targets_all = np.concatenate(targets_all)
+        if task == "regression":
+            from chadavit_tpu.eval.metrics import regression_suite
+
+            results = regression_suite(logits_all[:, 0], targets_all)
+        else:
+            results = classification_suite(logits_all, targets_all, cfg.data.num_classes)
+            cm = confusion_matrix(logits_all.argmax(1), targets_all, cfg.data.num_classes)
+            from chadavit_tpu.data.datasets import DATASETS
+
+            names = getattr(DATASETS.get(cfg.data.dataset), "int_to_labels", None)
+            class_names = ([names[i] for i in sorted(names)] if names
+                           else [str(i) for i in range(cfg.data.num_classes)])
+            plot_confusion_matrix(cm, class_names, f"{cfg.name}_confusion_matrix.png")
+        print("validation:", {k: round(float(v), 4) for k, v in results.items()})
+        logger.log(results, step=done)
+    return results
+
+
+def main(argv=None):
+    cfg = parse_linear_cfg(load_cfg(argv, description=__doc__))
+    run_probe(cfg, task="classification")
+
+
+if __name__ == "__main__":
+    main()

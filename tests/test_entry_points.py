@@ -1,0 +1,119 @@
+"""End-to-end entry-point smoke tests on synthetic data (CPU)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SMOKE = os.path.join(REPO, "scripts", "smoke")
+
+
+def test_main_pretrain_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import main_pretrain
+
+    main_pretrain.main([
+        "--config-path", SMOKE, "--config-name", "dino_synthetic",
+        "max_steps=3", "data.size=32",
+    ])
+
+
+def test_main_knn_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import main_knn
+
+    main_knn.main(["--config-path", SMOKE, "--config-name", "knn_synthetic"])
+    csv_path = tmp_path / "knn-smoke_knn_offline_eval.csv"
+    assert csv_path.exists()
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0].startswith("Feature Type,Distance Function,k,T")
+    assert len(lines) == 3  # header + k in {1, 5} x cosine x one T
+
+
+def test_main_linear_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import main_linear
+
+    main_linear.main([
+        "--config-path", SMOKE, "--config-name", "linear_synthetic", "max_steps=4",
+    ])
+    assert (tmp_path / "linear-smoke_confusion_matrix.png").exists()
+
+
+def test_main_regression_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import main_regression
+
+    main_regression.main([
+        "--config-path", SMOKE, "--config-name", "linear_synthetic",
+        "max_steps=4", "name=regression-smoke",
+    ])
+
+
+def test_main_attn_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from PIL import Image
+
+    img_path = tmp_path / "cell.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((40, 40)) * 255).astype(np.uint8)).save(img_path)
+
+    import main_attn
+
+    main_attn.main([
+        "--config-path", SMOKE, "--config-name", "knn_synthetic",
+        f"image_path={img_path}", "output_dir=attn_out", "patch_size=16",
+        "name=attn-smoke",
+    ])
+    assert (tmp_path / "attn_out" / "attn-mean.png").exists()
+    assert (tmp_path / "attn_out" / "attn-head0.png").exists()
+
+
+def test_main_umap_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import main_umap
+
+    main_umap.main([
+        "--config-path", SMOKE, "--config-name", "knn_synthetic",
+        "name=umap-smoke", "data.size=48",
+    ])
+    assert (tmp_path / "umap-smoke_umap.png").exists()
+
+
+def test_checkpoint_and_auto_resume(tmp_path, monkeypatch):
+    """DINO pretrain saves per-epoch checkpoints; a fresh run with the same
+    config auto-resumes from the newest one (reference auto_resumer contract)."""
+    monkeypatch.chdir(tmp_path)
+    from chadavit_tpu.cli import apply_overrides
+    from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
+    from chadavit_tpu.train.loop import run_dino_pretrain
+
+    def make_cfg():
+        cfg = load_yaml(os.path.join(SMOKE, "dino_synthetic.yaml"))
+        apply_overrides(cfg, [
+            "checkpoint.enabled=true", "auto_resume.enabled=true",
+            f"checkpoint.dir={tmp_path}/ckpts", "data.size=32", "max_epochs=2",
+        ])
+        return parse_pretrain_cfg(cfg)
+
+    # first run: one epoch's worth of steps, checkpoint saved, then stop
+    run_dino_pretrain(make_cfg(), max_steps=2)
+    ckpt_root = tmp_path / "ckpts" / "dino"
+    runs = list(ckpt_root.iterdir())
+    assert len(runs) == 1
+    ckpts = [p for p in runs[0].iterdir() if "-ep=" in p.name]
+    assert len(ckpts) == 1
+
+    # second run with the SAME config (all SHOULD_MATCH keys equal) resumes
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_dino_pretrain(make_cfg())
+    assert "auto-resumed" in buf.getvalue()
