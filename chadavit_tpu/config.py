@@ -214,6 +214,20 @@ def _optimizer_defaults(cfg: Config):
     select(cfg, "optimizer.weight_decay", 0.0)
 
 
+def _accumulate_defaults(cfg: Config):
+    """Gradient accumulation rescales every lr-like quantity by the number of
+    accumulated batches (reference base.py:258-272)."""
+    acc = select(cfg, "accumulate_grad_batches", 1) or 1
+    if acc > 1:
+        cfg.optimizer.lr = cfg.optimizer.lr * acc
+        if cfg.optimizer.get("classifier_lr"):
+            cfg.optimizer.classifier_lr = cfg.optimizer.classifier_lr * acc
+        if cfg.optimizer.get("token_learner_lr"):
+            cfg.optimizer.token_learner_lr = cfg.optimizer.token_learner_lr * acc
+        cfg.scheduler.min_lr = cfg.scheduler.get("min_lr", 0.0) * acc
+        cfg.scheduler.warmup_start_lr = cfg.scheduler.get("warmup_start_lr", 3e-5) * acc
+
+
 def _scheduler_defaults(cfg: Config):
     """Scheduler defaults (reference base.py add_and_assert_specific_cfg)."""
     select(cfg, "scheduler.name", "warmup_cosine")
@@ -273,6 +287,7 @@ def parse_pretrain_cfg(cfg: Config) -> Config:
     _scale_lrs(cfg)
     _optimizer_defaults(cfg)
     _scheduler_defaults(cfg)
+    _accumulate_defaults(cfg)
     return cfg
 
 
@@ -295,6 +310,7 @@ def parse_linear_cfg(cfg: Config) -> Config:
     _scale_lrs(cfg)
     _optimizer_defaults(cfg)
     _scheduler_defaults(cfg)
+    _accumulate_defaults(cfg)
     return cfg
 
 

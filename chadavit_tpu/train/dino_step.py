@@ -57,6 +57,9 @@ class DinoStepConfig(NamedTuple):
     final_tau: float = 1.0
     total_steps: int = 1
     steps_per_epoch: int = 1
+    # micro-batches per optimizer step; schedules/EMA track OPTIMIZER steps
+    # (reference guards EMA with global_step > last_step, base.py:1263-1276)
+    accumulate: int = 1
 
 
 def _clip_backbone_grads(grads_backbone, clip: float):
@@ -92,7 +95,8 @@ def make_dino_train_step(
         flat = crops.reshape((nc * b,) + crops.shape[2:])
         cc_rep = jnp.tile(cc, nc)
 
-        epoch = state.step // cfg.steps_per_epoch
+        opt_step = state.step // cfg.accumulate
+        epoch = opt_step // cfg.steps_per_epoch
         teacher_temp = teacher_temp_schedule(
             epoch, cfg.warmup_teacher_temp, cfg.teacher_temp, cfg.warmup_teacher_temp_epochs
         )
@@ -144,9 +148,20 @@ def make_dino_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.student)
         student = optax.apply_updates(state.student, updates)
 
-        # EMA teacher with cosine tau (base.py:1250-1276, momentum.py:73-87)
-        tau = cosine_tau(state.step, cfg.total_steps, cfg.base_tau, cfg.final_tau)
-        teacher = jax.tree.map(lambda t, s: tau * t + (1.0 - tau) * s, state.teacher, student)
+        # EMA teacher with cosine tau, once per OPTIMIZER step
+        # (base.py:1250-1276, momentum.py:73-87)
+        tau = cosine_tau(opt_step, cfg.total_steps, cfg.base_tau, cfg.final_tau)
+        if cfg.accumulate > 1:
+            did_update = (state.step + 1) % cfg.accumulate == 0
+            teacher = jax.lax.cond(
+                did_update,
+                lambda: jax.tree.map(lambda t, s: tau * t + (1.0 - tau) * s,
+                                     state.teacher, student),
+                lambda: state.teacher,
+            )
+        else:
+            teacher = jax.tree.map(lambda t, s: tau * t + (1.0 - tau) * s,
+                                   state.teacher, student)
 
         new_state = state.replace(
             step=state.step + 1,

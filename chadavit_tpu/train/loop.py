@@ -65,6 +65,7 @@ def spec_from_cfg(cfg: Config, steps_per_epoch: int) -> DinoPretrainSpec:
         num_large_crops=cfg.data.num_large_crops,
         max_epochs=cfg.max_epochs,
         steps_per_epoch=steps_per_epoch,
+        accumulate_grad_batches=cfg.get("accumulate_grad_batches", 1) or 1,
         dtype=dtype,
     )
 
@@ -135,6 +136,51 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     logger = MetricLogger(ckptr.path if ckptr else ".", stdout_every=cfg.get("log_every", 50))
     timer = StepTimer()
 
+    # ---- optional per-epoch validation: online kNN on student CLS features
+    # (reference knn_eval, base.py:282-287,723-731) over a labeled val split ----
+    knn_enabled = bool(cfg.get("knn_eval", {}).get("enabled", False))
+    val_loader = None
+    if knn_enabled and (cfg.data.get("val_path") or cfg.data.dataset == "synthetic"):
+        from chadavit_tpu.data.classification import prepare_data
+
+        max_channels = (cfg.backbone.get("kwargs", {}).get("max_number_channels")
+                        or cfg.data.get("max_img_channels", 10))
+        crop = cfg["augmentations"][0]["crop_size"] if cfg.get("augmentations") else 224
+        knn_train_loader, val_loader = prepare_data(
+            cfg.data.dataset,
+            train_path=cfg.data.get("train_path"),
+            val_path=cfg.data.get("val_path"),
+            batch_size=cfg.optimizer.batch_size,
+            max_channels=max_channels,
+            num_workers=cfg.data.get("num_workers", 4),
+            crop_size=crop,
+            val_transform_for_train=True,
+        )
+
+    def validate(epoch: int):
+        if val_loader is None:
+            return {}
+        from chadavit_tpu.eval.features import extract_features
+        from chadavit_tpu.eval.knn import knn_classify
+
+        params = jax.device_get(state.student["backbone"])
+
+        def feature_fn(p, images, counts):
+            return model.apply({"params": p}, images.astype(spec.dtype), counts)
+
+        tr_f, tr_t = extract_features(knn_train_loader, feature_fn, params)
+        te_f, te_t = extract_features(val_loader, feature_fn, params)
+        mask_tr, mask_te = tr_t != -1, te_t != -1
+        if not mask_tr.any() or not mask_te.any():
+            return {}
+        k = int(cfg.get("knn_eval", {}).get("k", 20))
+        top1, top5 = knn_classify(tr_f[mask_tr], tr_t[mask_tr], te_f[mask_te], te_t[mask_te],
+                                  k=k, distance_fx=cfg.get("knn_eval", {}).get(
+                                      "distance_func", "cosine"))
+        out = {"val_knn_top1": top1, "val_knn_top5": top5}
+        logger.log(out, step=int(jax.device_get(state.step)))
+        return out
+
     metrics = {}
     done = 0
     for epoch in range(start_epoch, cfg.max_epochs):
@@ -157,4 +203,5 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
                 return {k: float(v) for k, v in metrics.items()}
         if ckptr:
             ckptr.save(jax.device_get(state), epoch)
-    return {k: float(v) for k, v in metrics.items()}
+        metrics = {**{k: float(v) for k, v in metrics.items()}, **validate(epoch)}
+    return dict(metrics)

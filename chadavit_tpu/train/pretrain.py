@@ -67,6 +67,9 @@ class DinoPretrainSpec:
     num_large_crops: int = 2
     max_epochs: int = 400
     steps_per_epoch: int = 100
+    # micro-batching: optimizer steps every N batches with summed grads
+    # (reference accumulate_grad_batches, base.py:237,258-272)
+    accumulate_grad_batches: int = 1
     # numerics
     dtype: Any = jnp.float32
 
@@ -129,6 +132,10 @@ def build_dino(
     )
     labels = jax.tree.map(lambda _: "all", student)
     tx = grouped_optimizer({"all": group}, labels)
+    if spec.accumulate_grad_batches > 1:
+        import optax
+
+        tx = optax.MultiSteps(tx, every_k_schedule=spec.accumulate_grad_batches)
     opt_state = tx.init(student)
 
     state = DinoState.create(student, opt_state, spec.num_prototypes)
@@ -145,6 +152,7 @@ def build_dino(
         final_tau=spec.final_tau,
         total_steps=spec.total_steps,
         steps_per_epoch=spec.steps_per_epoch,
+        accumulate=spec.accumulate_grad_batches,
     )
 
     def backbone_apply(params, x, cc):

@@ -1,0 +1,78 @@
+"""Shared glue utilities (reference ``src/utils/misc.py``).
+
+JAX equivalents of the reference's grab-bag: 2-D sin-cos positional embeddings
+(``misc.py:305-361``), NaN/Inf hygiene (``misc.py:44-131``), deterministic
+seeding (``misc.py:547``), and weight-decay exclusion (``misc.py:425-454`` —
+see :func:`chadavit_tpu.train.optim.wd_mask`)."""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def build_2d_sincos_posembed(grid_h: int, grid_w: int, embed_dim: int,
+                             cls_token: bool = False, temperature: float = 10000.0) -> np.ndarray:
+    """Fixed 2-D sin-cos positional embedding (reference ``misc.py:305-361``).
+
+    Returns ``(1, grid_h*grid_w [+1], embed_dim)`` float32."""
+    assert embed_dim % 4 == 0, "embed_dim must be divisible by 4 for 2d sincos"
+    gw = np.arange(grid_w, dtype=np.float32)
+    gh = np.arange(grid_h, dtype=np.float32)
+    gw, gh = np.meshgrid(gw, gh)
+    pos_dim = embed_dim // 4
+    omega = 1.0 / (temperature ** (np.arange(pos_dim, dtype=np.float32) / pos_dim))
+    out_w = gw.reshape(-1)[:, None] * omega[None, :]
+    out_h = gh.reshape(-1)[:, None] * omega[None, :]
+    emb = np.concatenate(
+        [np.sin(out_w), np.cos(out_w), np.sin(out_h), np.cos(out_h)], axis=1
+    )[None].astype(np.float32)
+    if cls_token:
+        emb = np.concatenate([np.zeros((1, 1, embed_dim), np.float32), emb], axis=1)
+    return emb
+
+
+def filter_inf_n_nan(x: Array, replace: float = 0.0) -> Tuple[Array, Array]:
+    """Replace non-finite entries; returns (cleaned, was_nonfinite_mask)
+    (reference ``filter_inf_n_nan``, ``misc.py:82-131``)."""
+    bad = ~jnp.isfinite(x)
+    return jnp.where(bad, replace, x), bad
+
+
+def count_nonfinite(tree) -> Array:
+    """Total non-finite elements across a pytree (training-health probe)."""
+    leaves = [jnp.sum(~jnp.isfinite(x)) for x in jax.tree.leaves(tree)
+              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+    return sum(leaves) if leaves else jnp.zeros((), jnp.int32)
+
+
+def seed_everything(seed: int) -> jax.Array:
+    """Deterministic seeding of python/numpy RNGs; returns a JAX PRNG key
+    (reference ``seed_everything_manual``, ``misc.py:547``)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def param_count(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree) if hasattr(x, "shape"))
+
+
+def pretty_param_summary(params, max_depth: int = 1) -> str:
+    """Per-top-level-module parameter counts (the RichModelSummary analogue,
+    reference ``main_pretrain.py:287``)."""
+    lines = []
+    total = 0
+    for k, sub in sorted(params.items()):
+        n = param_count(sub)
+        total += n
+        lines.append(f"  {k:<24s} {n:>12,d}")
+    lines.append(f"  {'TOTAL':<24s} {total:>12,d}")
+    return "\n".join(lines)
