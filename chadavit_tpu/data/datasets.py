@@ -28,11 +28,21 @@ import numpy as np
 
 
 def _imread(path: str) -> np.ndarray:
-    """Decode one single-channel image file. PNG/JPG via PIL; 16-bit TIFF via
-    cv2 (the reference uses tifffile/cv2, ``misc.py:465-478``); .npy raw."""
+    """Decode one single-channel image file. PNG/JPEG via the native C++
+    loader when built (:mod:`chadavit_tpu.data.native`), else PIL; 16-bit TIFF
+    via cv2 (the reference uses tifffile/cv2, ``misc.py:465-478``); .npy raw."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         return np.load(path)
+    if ext in (".png", ".jpg", ".jpeg"):
+        from chadavit_tpu.data import native
+
+        if native.is_available():
+            try:
+                return native.decode_plane(path)
+            except RuntimeError:
+                pass  # fall back to PIL below
+
     if ext in (".tif", ".tiff"):
         try:
             import cv2

@@ -1,0 +1,205 @@
+"""On-device batched augmentation — the TPU-native answer to the reference's
+NVIDIA DALI GPU pipeline (reference ``src/data/dali_dataloader.py:38-178,453-591``).
+
+The host decodes raw images once (C++ loader); everything else — random
+resized crop, per-channel color jitter, grayscale, gaussian blur, solarization,
+flip, normalize — runs as ONE jitted function over the dense
+``(B, C_max, H, W)`` batch, fused by XLA on the accelerator. Multi-crop SSL
+views come from a single call returning ``(num_crops, B, C_max, S, S)``.
+
+All ops are channel-count-agnostic and safe under padding: padded channel
+planes are zero and every op maps zero planes to (near-)zero planes, so the
+analytic channel mask stays valid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _rand_resized_crop_params(rng: Array, b: int, h: int, w: int,
+                              scale: Tuple[float, float], ratio: Tuple[float, float]):
+    """Sample per-image crop boxes (y0, x0, ch, cw) in float, RRC-style."""
+    r_area, r_ratio, r_y, r_x = jax.random.split(rng, 4)
+    area = jax.random.uniform(r_area, (b,), minval=scale[0], maxval=scale[1]) * (h * w)
+    log_r = jax.random.uniform(r_ratio, (b,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    ar = jnp.exp(log_r)
+    cw = jnp.sqrt(area * ar)
+    ch = jnp.sqrt(area / ar)
+    cw = jnp.clip(cw, 8.0, w)
+    ch = jnp.clip(ch, 8.0, h)
+    y0 = jax.random.uniform(r_y, (b,)) * (h - ch)
+    x0 = jax.random.uniform(r_x, (b,)) * (w - cw)
+    return y0, x0, ch, cw
+
+
+def random_resized_crop(rng: Array, images: Array, size: int,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                        method: str = "linear") -> Array:
+    """Per-image random resized crop, (B, C, H, W) -> (B, C, size, size)."""
+    b, c, h, w = images.shape
+    y0, x0, ch, cw = _rand_resized_crop_params(rng, b, h, w, scale, ratio)
+    sy = size / ch
+    sx = size / cw
+
+    def one(img, sy_, sx_, y0_, x0_):
+        return jax.image.scale_and_translate(
+            img, (c, size, size), (1, 2),
+            jnp.stack([sy_, sx_]), jnp.stack([-y0_ * sy_, -x0_ * sx_]),
+            method=method, antialias=False,
+        )
+
+    return jax.vmap(one)(images, sy, sx, y0, x0)
+
+
+def resize(images: Array, size: int, method: str = "linear") -> Array:
+    b, c, h, w = images.shape
+    return jax.image.resize(images, (b, c, size, size), method=method)
+
+
+def horizontal_flip(rng: Array, images: Array, p: float = 0.5) -> Array:
+    flip = jax.random.bernoulli(rng, p, (images.shape[0], 1, 1, 1))
+    return jnp.where(flip, images[..., ::-1], images)
+
+
+def color_jitter(rng: Array, images: Array, p: float = 0.8,
+                 int_shift=(-0.3, 0.3), gamma=(0.5, 1.5),
+                 channel_counts: Optional[Array] = None) -> Array:
+    """Per-channel intensity shift + brightness blend toward zero, clamped to
+    [0,1] (the paper's microscopy jitter, reference ``custom_transforms.py:313-351``).
+    Padding-aware: planes beyond ``channel_counts`` stay exactly zero."""
+    b, c = images.shape[:2]
+    r_apply, r_shift, r_gamma = jax.random.split(rng, 3)
+    apply = jax.random.bernoulli(r_apply, p, (b, 1, 1, 1))
+    shifts = jax.random.uniform(r_shift, (b, c, 1, 1), minval=int_shift[0], maxval=int_shift[1])
+    gammas = jax.random.uniform(r_gamma, (b, c, 1, 1), minval=gamma[0], maxval=gamma[1])
+    jittered = jnp.clip((images + shifts) * gammas, 0.0, 1.0)
+    out = jnp.where(apply, jittered, images)
+    if channel_counts is not None:
+        chan_idx = jnp.arange(c)[None, :, None, None]
+        valid = chan_idx < channel_counts[:, None, None, None]
+        out = jnp.where(valid, out, 0.0)
+    return out
+
+
+def to_gray(rng: Array, images: Array, channel_counts: Array, p: float = 0.2) -> Array:
+    """Mean over *real* channels broadcast back (padding-aware)."""
+    b, c = images.shape[:2]
+    apply = jax.random.bernoulli(rng, p, (b, 1, 1, 1))
+    counts = jnp.maximum(channel_counts.astype(images.dtype), 1)[:, None, None, None]
+    mean = jnp.sum(images, axis=1, keepdims=True) / counts
+    chan_idx = jnp.arange(c)[None, :, None, None]
+    valid = chan_idx < channel_counts[:, None, None, None]
+    gray = jnp.where(valid, mean, 0.0)
+    return jnp.where(apply, gray, images)
+
+
+def gaussian_blur(rng: Array, images: Array, p: float = 0.5,
+                  sigma=(0.1, 2.0), radius: int = 4) -> Array:
+    """Separable gaussian blur with per-image sigma (fixed kernel support so
+    shapes stay static; sigma is traced)."""
+    b, c, h, w = images.shape
+    r_apply, r_sigma = jax.random.split(rng)
+    apply = jax.random.bernoulli(r_apply, p, (b, 1, 1, 1))
+    s = jax.random.uniform(r_sigma, (b,), minval=sigma[0], maxval=sigma[1])
+    x = jnp.arange(-radius, radius + 1, dtype=images.dtype)
+    k = jnp.exp(-0.5 * (x[None, :] / s[:, None]) ** 2)  # (B, K)
+    k = k / jnp.sum(k, axis=1, keepdims=True)
+
+    def one(img, k1):
+        # img (C, H, W); separable conv via two 1-D convs
+        kh = k1[None, None, :, None]  # (1,1,K,1)
+        kw = k1[None, None, None, :]
+        y = jax.lax.conv_general_dilated(
+            img[:, None], jnp.broadcast_to(kh, (1, 1, k1.size, 1)),
+            (1, 1), [(radius, radius), (0, 0)], feature_group_count=1)
+        y = jax.lax.conv_general_dilated(
+            y, jnp.broadcast_to(kw, (1, 1, 1, k1.size)),
+            (1, 1), [(0, 0), (radius, radius)], feature_group_count=1)
+        return y[:, 0]
+
+    blurred = jax.vmap(one)(images, k)
+    return jnp.where(apply, blurred, images)
+
+
+def solarize(rng: Array, images: Array, p: float = 0.0, threshold: float = 0.5) -> Array:
+    apply = jax.random.bernoulli(rng, p, (images.shape[0], 1, 1, 1))
+    sol = jnp.where(images >= threshold, 1.0 - images, images)
+    return jnp.where(apply, sol, images)
+
+
+def normalize(images: Array, mean: Sequence[float], std: Sequence[float]) -> Array:
+    c = images.shape[1]
+    m = jnp.resize(jnp.asarray(mean, images.dtype), (c,))[None, :, None, None]
+    s = jnp.resize(jnp.asarray(std, images.dtype), (c,))[None, :, None, None]
+    return (images - m) / s
+
+
+class DeviceAugmentPipeline:
+    """Compile one augmentation-config node (the reference YAML schema) into a
+    jitted ``(rng, images, channel_counts) -> (B, C, S, S)`` view function."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        g = lambda k, d=None: cfg.get(k, d) if isinstance(cfg, dict) else getattr(cfg, k, d)  # noqa: E731
+        self.size = g("crop_size", 224)
+        rrc = g("rrc", {}) or {}
+        self.rrc_enabled = rrc.get("enabled", False)
+        self.rrc_scale = (rrc.get("crop_min_scale", 0.08), rrc.get("crop_max_scale", 1.0))
+        self.cj = (g("color_jitter", {}) or {}).get("prob", 0)
+        self.gray = (g("grayscale", {}) or {}).get("prob", 0)
+        self.blur = (g("gaussian_blur", {}) or {}).get("prob", 0)
+        self.sol = (g("solarization", {}) or {}).get("prob", 0)
+        self.flip = (g("horizontal_flip", {}) or {}).get("prob", 0)
+        norm = g("normalize", None)
+        self.norm = (norm.get("mean", [0.0]), norm.get("std", [1.0])) if norm else None
+
+    def __call__(self, rng: Array, images: Array, channel_counts: Array) -> Array:
+        keys = jax.random.split(rng, 6)
+        if self.rrc_enabled:
+            x = random_resized_crop(keys[0], images, self.size, scale=self.rrc_scale)
+        else:
+            x = resize(images, self.size)
+        if self.cj:
+            x = color_jitter(keys[1], x, p=self.cj, channel_counts=channel_counts)
+        if self.gray:
+            x = to_gray(keys[2], x, channel_counts, p=self.gray)
+        if self.blur:
+            x = gaussian_blur(keys[3], x, p=self.blur)
+        if self.sol:
+            x = solarize(keys[4], x, p=self.sol)
+        if self.flip:
+            x = horizontal_flip(keys[5], x, p=self.flip)
+        if self.norm:
+            x = normalize(x, *self.norm)
+        return x
+
+
+def make_multicrop_fn(aug_cfgs: Sequence[Dict[str, Any]]):
+    """Jitted multi-crop: raw batch -> stacked views per the config list
+    (2 large + N small in the reference recipes). Returns
+    ``fn(rng, images, counts) -> {"crops": (n_large, B, C, S, S), ...}``."""
+    pipelines = []
+    for cfg in aug_cfgs:
+        n = cfg.get("num_crops", 1) if isinstance(cfg, dict) else getattr(cfg, "num_crops", 1)
+        pipelines.extend([DeviceAugmentPipeline(cfg)] * n)
+    big = pipelines[0].size
+
+    @jax.jit
+    def fn(rng: Array, images: Array, channel_counts: Array):
+        keys = jax.random.split(rng, len(pipelines))
+        large, small = [], []
+        for key, pipe in zip(keys, pipelines):
+            view = pipe(key, images, channel_counts)
+            (large if pipe.size == big else small).append(view)
+        out = {"crops": jnp.stack(large, 0), "channel_counts": channel_counts}
+        if small:
+            out["small_crops"] = jnp.stack(small, 0)
+        return out
+
+    return fn

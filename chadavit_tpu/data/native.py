@@ -1,0 +1,168 @@
+"""ctypes binding for the native C++ loader (``native/chadaloader.cpp``) —
+the TPU-native replacement for the reference's DALI GPU pipeline / PIL decode
+path (reference ``src/data/dali_dataloader.py``, ``custom_datasets.py:166-190``).
+
+Builds the shared library on first use with g++ (cached next to the source);
+falls back gracefully (``is_available() -> False``) when the toolchain or
+codec libraries are missing, in which case callers use the PIL path."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "chadaloader.cpp")
+_SO = os.path.join(_REPO, "native", "libchadaloader.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _SO, "-lpng", "-ljpeg", "-lz", "-lpthread",
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return str(e)
+    if proc.returncode != 0:
+        return proc.stderr[-2000:]
+    return None
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            err = _build()
+            if err:
+                _build_error = err
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            _build_error = str(e)
+            return None
+        lib.chada_decode_plane.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.chada_decode_plane.restype = ctypes.c_int
+        lib.chada_load_dense_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_float,
+        ]
+        lib.chada_load_dense_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> Optional[str]:
+    _load()
+    return _build_error
+
+
+def decode_plane(path: str, max_pixels: int = 64 * 1024 * 1024) -> np.ndarray:
+    """Decode one single-channel image file at native resolution (float32 HW)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_build_error}")
+    buf = np.empty(max_pixels, np.float32)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.chada_decode_plane(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        buf.size, ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        raise RuntimeError(f"decode failed ({rc}): {path}")
+    return buf[: w.value * h.value].reshape(h.value, w.value).copy()
+
+
+def load_dense_batch(
+    channel_paths: Sequence[Sequence[str]],
+    max_channels: int,
+    height: int,
+    width: int,
+    num_threads: int = 8,
+    scale: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode+resize a batch of multi-channel images straight into the dense
+    ``(B, C_max, H, W)`` float32 layout. Returns (batch, channel_counts)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_build_error}")
+    b = len(channel_paths)
+    flat: List[bytes] = []
+    offsets = np.zeros(b + 1, np.int64)
+    for i, paths in enumerate(channel_paths):
+        flat.extend(p.encode() for p in paths)
+        offsets[i + 1] = len(flat)
+
+    c_paths = (ctypes.c_char_p * len(flat))(*flat)
+    out = np.zeros((b, max_channels, height, width), np.float32)
+    counts = np.zeros(b, np.int32)
+    failures = lib.chada_load_dense_batch(
+        c_paths,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        b, max_channels, height, width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads, scale,
+    )
+    if failures:
+        raise RuntimeError(f"{failures} plane(s) failed to decode")
+    return out, counts
+
+
+class NativeEvalLoader:
+    """Batch loader for eval paths (deterministic resize transform) that keeps
+    the whole decode+resize in C++: the fast path behind ``main_knn`` /
+    ``main_umap`` / frozen ``main_linear`` feature extraction."""
+
+    def __init__(self, dataset, batch_size: int, max_channels: int,
+                 height: int, width: int, num_threads: int = 8, scale: float = 1.0,
+                 drop_last: bool = False):
+        # dataset must expose .file_list rows (image_id, target, paths)
+        self.rows = list(dataset.file_list)
+        self.task = getattr(dataset, "task", "classification")
+        self.batch_size = batch_size
+        self.max_channels = max_channels
+        self.height, self.width = height, width
+        self.num_threads = num_threads
+        self.scale = scale
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.rows)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        for s in range(0, len(self)):
+            rows = self.rows[s * self.batch_size : (s + 1) * self.batch_size]
+            if not rows:
+                return
+            paths = [r[2] for r in rows]
+            images, counts = load_dense_batch(paths, self.max_channels,
+                                              self.height, self.width,
+                                              self.num_threads, self.scale)
+            labels = np.asarray(
+                [float(r[1]) if self.task == "regression" else int(r[1]) for r in rows])
+            yield {"images": images, "channel_counts": counts, "labels": labels}
