@@ -257,6 +257,59 @@ class MTBenchReg(CsvManifestDataset):
 
 
 # ---------------------------------------------------------------------------
+class ImageFolderDataset:
+    """Class-per-subdirectory image dataset (the ``format: image_folder`` path
+    the reference delegates to torchvision for imagenet/cifar-style data,
+    reference ``classification_dataloader.py:318+``). Images decode to HWC
+    float32; RGB files contribute 3 channels."""
+
+    task = "classification"
+
+    def __init__(self, root_dir: str, train: bool = True,
+                 transform: Optional[Callable] = None, shuffle: bool = False,
+                 sample_ratio: float = 1.0, split_dirs=("train", "val")):
+        split = split_dirs[0] if train else split_dirs[1]
+        base = os.path.join(root_dir, split)
+        if not os.path.isdir(base):
+            base = root_dir  # flat layout
+        classes = sorted(d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d)))
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.int_to_labels = {i: c for c, i in self.class_to_idx.items()}
+        self.samples = []
+        for c in classes:
+            cdir = os.path.join(base, c)
+            for f in sorted(os.listdir(cdir)):
+                if os.path.splitext(f)[1].lower() in (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".npy"):
+                    self.samples.append((os.path.join(cdir, f), self.class_to_idx[c]))
+        if train and sample_ratio < 1.0:
+            self.samples = random.sample(self.samples, int(len(self.samples) * sample_ratio))
+        if shuffle:
+            random.shuffle(self.samples)
+        self.transform = transform
+        # reference-compatible manifest view (for NativeEvalLoader)
+        self.file_list = [(p, t, [p]) for p, t in self.samples]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, index: int):
+        path, target = self.samples[index]
+        # PIL here (not the native single-plane decoder): RGB files must keep
+        # all three channels for the RGB/one_channel baselines
+        if os.path.splitext(path)[1].lower() == ".npy":
+            arr = np.load(path)
+        else:
+            from PIL import Image
+
+            arr = np.array(Image.open(path))
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        img = arr.astype(np.float32)
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, int(target)
+
+
 class H5Dataset:
     """HDF5-backed dataset (reference ``custom_datasets.py:39-152``): one file
     with ``images`` (N, H, W, C) and optional ``labels`` datasets."""
@@ -314,6 +367,13 @@ class SyntheticChannels:
 
 
 DATASETS = {
+    # generic image-folder datasets (torchvision-style class subdirs)
+    "imagenet": ImageFolderDataset,
+    "imagenet100": ImageFolderDataset,
+    "cifar10": ImageFolderDataset,
+    "cifar100": ImageFolderDataset,
+    "stl10": ImageFolderDataset,
+    "custom": ImageFolderDataset,
     "idrcell100k": IDRCell100K,
     "idrcell100k_3channels": IDRCell100K_3Channels,
     "bray": Bray,

@@ -112,3 +112,21 @@ def test_csv_manifest_dataset(tmp_path):
     assert img.shape == (8, 8, 3)  # HWC with 3 channels
     assert label == -1  # unlabeled pretrain set
     assert img[0, 0, 1] == 21.0
+
+
+def test_image_folder_dataset(tmp_path):
+    from PIL import Image
+
+    for split in ("train", "val"):
+        for cls in ("cat", "dog"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(3):
+                arr = (np.ones((8, 8, 3)) * (i + 1)).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+    ds = prepare_datasets("imagenet100", train_path=str(tmp_path), train=True)
+    assert len(ds) == 6
+    img, label = ds[0]
+    assert img.shape[-1] == 3 and label in (0, 1)
+    assert ds.int_to_labels == {0: "cat", 1: "dog"}
