@@ -1,5 +1,7 @@
 """Benchmark harness: DINO pretrain throughput (images/sec/chip) for the
-flagship chadavit16-moyen config on mixed 1-10-channel batches.
+flagship chadavit16-moyen config on mixed 1-10-channel batches, measured
+end-to-end through the real pipeline (host loader with channel-count
+bucketing -> jitted train step on device).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
@@ -15,15 +17,18 @@ import time
 
 A100_EST_IMG_S = 40.0  # analytic A100 estimate for the torch reference; see BASELINE.md
 BATCH = 32
-STEPS = 20
+STEPS = 30  # timed steps across bucket widths
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
+    from chadavit_tpu.data.datasets import SyntheticChannels
+    from chadavit_tpu.data.pipeline import HostLoader
     from chadavit_tpu.parallel.mesh import make_mesh
-    from chadavit_tpu.train.pretrain import DinoPretrainSpec, build_dino, synthetic_dino_batch
+    from chadavit_tpu.train.pretrain import DinoPretrainSpec, build_dino
 
     spec = DinoPretrainSpec(
         backbone_kwargs=dict(
@@ -41,22 +46,44 @@ def main():
         dtype=jnp.bfloat16,
     )
     state, step, _, _ = build_dino(spec, mesh=make_mesh(n_model=1))
-    batch = synthetic_dino_batch(spec, batch_size=BATCH, seed=0)  # mixed 1-10 channels
 
-    # compile + warmup (hard sync via scalar readback: async dispatch on the
-    # tunneled backend makes block_until_ready unreliable for timing)
-    state, metrics = step(state, batch)
-    _ = float(metrics["dino_loss"])
+    # synthetic mixed 1-10-channel dataset through the real host pipeline;
+    # bucket_round=4 keeps compilation to 3 step shapes (widths 4, 8, 10)
+    ds = SyntheticChannels(n=(STEPS + 6) * BATCH, img_size=224,
+                           min_channels=1, max_channels=10, seed=0)
+    loader = HostLoader(ds, batch_size=BATCH, max_channels=10, num_workers=8,
+                        seed=0, channels_last=True,
+                        bucket_by_channels=True, bucket_round=4)
 
+    def to_step_batch(b):
+        imgs = jnp.asarray(b["images"], spec.dtype)
+        return {
+            "crops": jnp.stack([imgs, imgs], 0),  # 2 global views
+            "channel_counts": jnp.asarray(b["channel_counts"]),
+        }
+
+    # warmup: compile every bucket width once
+    seen = set()
+    batches = []
+    for b in loader:
+        batches.append(b)
+    for b in batches:
+        w = b["images"].shape[1]
+        if w not in seen:
+            seen.add(w)
+            state, m = step(state, to_step_batch(b))
+    _ = float(m["dino_loss"])  # hard sync (async tunnel dispatch)
+
+    timed = batches[:STEPS]
+    n_img = sum(len(b["labels"]) for b in timed)
     t0 = time.time()
-    for _ in range(STEPS):
-        state, metrics = step(state, batch)
-    _ = float(metrics["dino_loss"])
+    for b in timed:
+        state, m = step(state, to_step_batch(b))
+    _ = float(m["dino_loss"])  # hard sync
     dt = time.time() - t0
 
-    img_s = STEPS * BATCH / dt
     n_chips = max(len(jax.devices()), 1)
-    img_s_chip = img_s / n_chips
+    img_s_chip = n_img / dt / n_chips
     print(json.dumps({
         "metric": "dino_pretrain_images_per_sec_per_chip",
         "value": round(img_s_chip, 2),

@@ -144,6 +144,11 @@ class CsvManifestDataset:
     def __len__(self) -> int:
         return len(self.file_list)
 
+    def channel_count(self, index: int) -> int:
+        """Channel count from the manifest alone (no decode) — drives
+        channel-count bucketing in the loader."""
+        return len(self.file_list[index][2])
+
     def _target(self, raw) -> float:
         return float(raw) if self.task == "regression" else int(raw)
 
@@ -356,6 +361,10 @@ class SyntheticChannels:
     def __len__(self):
         return self.n
 
+    def channel_count(self, index: int) -> int:
+        rng = np.random.default_rng(self.seed * 1_000_003 + index)
+        return int(rng.integers(self.min_channels, self.max_channels + 1))
+
     def __getitem__(self, index: int):
         rng = np.random.default_rng(self.seed * 1_000_003 + index)
         c = int(rng.integers(self.min_channels, self.max_channels + 1))
@@ -397,6 +406,9 @@ class DatasetWithIndex:
 
     def __len__(self):
         return len(self.dataset)
+
+    def channel_count(self, index: int) -> int:
+        return self.dataset.channel_count(index)
 
     def __getitem__(self, index: int):
         out = self.dataset[index]

@@ -109,10 +109,14 @@ class HostLoader:
         prefetch: int = 4,
         seed: int = 0,
         channels_last: bool = False,
+        bucket_by_channels: bool = False,
+        bucket_round: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_channels = max_channels
+        self._channels_last = channels_last
+        self._user_collate = collate_fn
         self.collate_fn = collate_fn or (
             lambda b: dense_collate(b, max_channels, channels_last))
         self.shuffle = shuffle
@@ -121,6 +125,13 @@ class HostLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        # channel-count bucketing: batch images of similar channel counts and
+        # pad only to the batch's (rounded) max — skips the padded-channel
+        # FFN/LN/projection work that a fixed C_max layout wastes (up to
+        # C_max/c of the non-attention FLOPs; attention already skips via the
+        # prefix kernel). Requires dataset.channel_count(i).
+        self.bucket_by_channels = bucket_by_channels and hasattr(dataset, "channel_count")
+        self.bucket_round = bucket_round
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -132,10 +143,22 @@ class HostLoader:
     def _batches(self) -> List[np.ndarray]:
         n = len(self.dataset)
         order = np.arange(n)
+        rng = np.random.default_rng(self.seed + self.epoch)
         if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+            rng.shuffle(order)
+        if self.bucket_by_channels:
+            counts = np.asarray([self.dataset.channel_count(int(i)) for i in order])
+            order = order[np.argsort(counts, kind="stable")]
         nb = len(self)
-        return [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+        batches = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+        if self.bucket_by_channels and self.shuffle:
+            rng.shuffle(batches)
+        return batches
+
+    def _bucket_width(self, idxs) -> int:
+        cmax = max(self.dataset.channel_count(int(i)) for i in idxs)
+        r = self.bucket_round
+        return min(((cmax + r - 1) // r) * r, self.max_channels)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batches()
@@ -156,7 +179,11 @@ class HostLoader:
                         except StopIteration:
                             return
                     samples = [self.dataset[int(i)] for i in idxs]
-                    batch = self.collate_fn(samples)
+                    if self.bucket_by_channels and self._user_collate is None:
+                        batch = dense_collate(samples, self._bucket_width(idxs),
+                                              self._channels_last)
+                    else:
+                        batch = self.collate_fn(samples)
                     # emit strictly in batch order; puts stay inside the lock so
                     # two workers cannot interleave their ready prefixes
                     with res_lock:

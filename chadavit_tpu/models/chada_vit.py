@@ -299,10 +299,20 @@ class ChAdaViT(nn.Module):
 
         Returns ``(embeddings (B, 1 + C*N, D), key_padding_mask (B, 1 + C*N))``.
         """
+        # ``max_channels=None`` is the standard forward: the dense width may be
+        # *smaller* than the model capacity (channel-count bucketing — batches
+        # grouped by similar counts skip padded-channel FFN/LN work entirely);
+        # channel tokens for the first ``c`` slots are added, which is exactly
+        # what the reference computes on a to-10-padded batch for those images.
+        # An explicit ``max_channels`` reproduces the reference quirk of adding
+        # channel tokens only at full capacity (the attention-viz path passes 1
+        # and skips them, reference chada_vit.py:248-250,314).
+        add_channel_tokens = (max_channels is None) or (max_channels == self.max_channels)
         if max_channels is None:
             max_channels = x.shape[1]
         b, c, h, w = x.shape
         assert c == max_channels
+        assert c <= self.max_channels
 
         tokens = self.patch_embed(x.astype(self.dtype))  # (B, C, N, D)
         n = tokens.shape[2]
@@ -312,11 +322,8 @@ class ChAdaViT(nn.Module):
         # positional embedding: the same row broadcast over channels
         tokens = tokens + self._patch_pos_embed(w, h).astype(self.dtype)
 
-        # channel token: one learned vector per channel slot, added to all its
-        # patches — only when running at the training channel capacity
-        # (reference chada_vit.py:248-250)
-        if max_channels == self.max_channels:
-            tokens = tokens + self.channel_token.astype(self.dtype)
+        if add_channel_tokens:
+            tokens = tokens + self.channel_token[:, :c].astype(self.dtype)
 
         tokens = tokens.reshape(b, c * n, self.embed_dim)
 

@@ -99,6 +99,9 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
         max_channels=max_channels,
         num_workers=cfg.data.get("num_workers", 4),
         seed=seed,
+        # group batches by channel count and pad only to the bucket width:
+        # skips padded-channel FFN/LN work (the step recompiles once per width)
+        bucket_by_channels=cfg.get("bucket_by_channels", False),
     )
 
 

@@ -130,3 +130,23 @@ def test_image_folder_dataset(tmp_path):
     img, label = ds[0]
     assert img.shape[-1] == 3 and label in (0, 1)
     assert ds.int_to_labels == {0: "cat", 1: "dog"}
+
+
+def test_bucketed_loader_groups_by_channels():
+    ds = SyntheticChannels(n=64, img_size=8, min_channels=1, max_channels=8)
+    ld = HostLoader(ds, batch_size=8, max_channels=8, num_workers=2, seed=3,
+                    channels_last=True, bucket_by_channels=True)
+    widths, seen = [], []
+    for batch in ld:
+        widths.append(batch["images"].shape[1])
+        seen.extend(batch["channel_counts"].tolist())
+        assert batch["images"].shape[1] >= batch["channel_counts"].max()
+    # all 64 samples covered once; several distinct (smaller) widths appear
+    assert len(seen) == 64
+    assert min(widths) < 8
+    # counts within each batch are tight: every batch's max width is a rounded
+    # version of its own max count
+    for batch in HostLoader(ds, batch_size=8, max_channels=8, num_workers=1, seed=3,
+                            channels_last=True, bucket_by_channels=True):
+        cmax = int(batch["channel_counts"].max())
+        assert batch["images"].shape[1] == min(((cmax + 1) // 2) * 2, 8)

@@ -136,3 +136,22 @@ def test_mask_semantics():
     assert not m[0, 1 : 1 + 32].any() and m[0, 1 + 32 :].all()
     assert not m[1, 1:].any()
     assert not m[2, 1 : 1 + 16].any() and m[2, 1 + 16 :].all()
+
+
+def test_bucketed_dense_width_equals_padded(torch_ref, jax_model, rng):
+    """Forward on a dense (B, 3, H, W) batch (channel bucketing) must equal the
+    forward on the same images padded to C_max=10 — the channel tokens for the
+    first 3 slots are identical either way."""
+    jmodel, variables = jax_model
+    b = 3
+    imgs = rng.standard_normal((b, 3, IMG, IMG)).astype(np.float32)
+    counts = np.asarray([3, 2, 1], np.int32)
+    for i, c in enumerate(counts):
+        imgs[i, c:] = 0.0
+
+    padded = np.zeros((b, 10, IMG, IMG), np.float32)
+    padded[:, :3] = imgs
+
+    out_bucket = np.asarray(jmodel.apply(variables, jnp.asarray(imgs), jnp.asarray(counts)))
+    out_padded = np.asarray(jmodel.apply(variables, jnp.asarray(padded), jnp.asarray(counts)))
+    np.testing.assert_allclose(out_bucket, out_padded, rtol=1e-5, atol=1e-5)
