@@ -72,15 +72,27 @@ def spec_from_cfg(cfg: Config, steps_per_epoch: int) -> DinoPretrainSpec:
 
 def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
     """Multi-crop SSL loader from the config's augmentation pipelines
-    (reference ``main_pretrain.py:101-136``)."""
-    pipelines = [
-        NCropAugmentation(
-            build_transform_pipeline(cfg.data.dataset, aug, seed=seed + i),
-            aug.get("num_crops", 1),
-        )
-        for i, aug in enumerate(cfg.get("augmentations", []))
-    ]
-    transform = FullTransformPipeline(pipelines)
+    (reference ``main_pretrain.py:101-136``).
+
+    With ``device_augmentations: true`` the host only decodes and resizes to
+    the base crop size; all random views are generated on-device by the jitted
+    multicrop fn (the DALI-equivalent path) and the loader yields single raw
+    images instead of host-augmented crops."""
+    if cfg.get("device_augmentations", False):
+        from chadavit_tpu.data.transforms import AugmentationPipeline
+
+        base = cfg["augmentations"][0]["crop_size"] if cfg.get("augmentations") else 224
+        transform = AugmentationPipeline({"crop_size": base, "rrc": {"enabled": False}},
+                                         seed=seed)
+    else:
+        pipelines = [
+            NCropAugmentation(
+                build_transform_pipeline(cfg.data.dataset, aug, seed=seed + i),
+                aug.get("num_crops", 1),
+            )
+            for i, aug in enumerate(cfg.get("augmentations", []))
+        ]
+        transform = FullTransformPipeline(pipelines)
     dataset = prepare_datasets(
         cfg.data.dataset,
         transform=transform,
@@ -184,15 +196,30 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         logger.log(out, step=int(jax.device_get(state.step)))
         return out
 
+    # on-device multicrop augmentation (DALI-equivalent; see device_augment.py)
+    device_aug = None
+    if cfg.get("device_augmentations", False):
+        from chadavit_tpu.data.device_augment import make_multicrop_fn
+
+        device_aug = make_multicrop_fn([dict(a) for a in cfg.get("augmentations", [])])
+    aug_rng = jax.random.PRNGKey(seed + 1)
+
     metrics = {}
     done = 0
     for epoch in range(start_epoch, cfg.max_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
-            dev_batch = {
-                "crops": jnp.asarray(batch["crops"], spec.dtype),
-                "channel_counts": jnp.asarray(batch["channel_counts"]),
-            }
+            if device_aug is not None:
+                aug_rng, sub = jax.random.split(aug_rng)
+                out = device_aug(sub, jnp.asarray(batch["images"], spec.dtype),
+                                 jnp.asarray(batch["channel_counts"]))
+                dev_batch = {"crops": out["crops"].astype(spec.dtype),
+                             "channel_counts": out["channel_counts"]}
+            else:
+                dev_batch = {
+                    "crops": jnp.asarray(batch["crops"], spec.dtype),
+                    "channel_counts": jnp.asarray(batch["channel_counts"]),
+                }
             state, metrics = train_step(state, dev_batch)
             timer.tick()
             done += 1

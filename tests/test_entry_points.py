@@ -117,3 +117,14 @@ def test_checkpoint_and_auto_resume(tmp_path, monkeypatch):
     with redirect_stdout(buf):
         run_dino_pretrain(make_cfg())
     assert "auto-resumed" in buf.getvalue()
+
+
+def test_main_pretrain_device_augmentations(tmp_path, monkeypatch):
+    """The on-device (DALI-equivalent) augmentation path trains end-to-end."""
+    monkeypatch.chdir(tmp_path)
+    import main_pretrain
+
+    main_pretrain.main([
+        "--config-path", SMOKE, "--config-name", "dino_synthetic",
+        "max_steps=3", "data.size=32", "device_augmentations=true",
+    ])
