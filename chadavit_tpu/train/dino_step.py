@@ -73,6 +73,39 @@ def _clip_backbone_grads(grads_backbone, clip: float):
     return jax.tree.map(one, grads_backbone)
 
 
+def make_dino_eval_loss(
+    backbone_apply: Callable,
+    head_apply: Callable,
+    cfg: DinoStepConfig,
+) -> Callable:
+    """SSL validation loss (reference ``ssl_val_loss`` / ``DINO.validation_step``,
+    ``dino.py:327-365``): the DINO cross-entropy on held-out crops, computed
+    with the CURRENT center/temperature but without updating them."""
+
+    def eval_loss(state: DinoState, batch: Dict[str, Array]) -> Array:
+        crops, cc = batch["crops"], batch["channel_counts"]
+        nc, b = crops.shape[0], crops.shape[1]
+        flat = crops.reshape((nc * b,) + crops.shape[2:])
+        cc_rep = jnp.tile(cc, nc)
+        opt_step = state.step // cfg.accumulate
+        epoch = opt_step // cfg.steps_per_epoch
+        teacher_temp = teacher_temp_schedule(
+            epoch, cfg.warmup_teacher_temp, cfg.teacher_temp, cfg.warmup_teacher_temp_epochs
+        )
+        s_z = head_apply(state.student["head"],
+                         backbone_apply(state.student["backbone"], flat, cc_rep))
+        t_z = head_apply(state.teacher["head"],
+                         backbone_apply(state.teacher["backbone"], flat, cc_rep))
+        loss, _ = dino_loss_and_center(
+            s_z.astype(jnp.float32), t_z.astype(jnp.float32), state.center, teacher_temp,
+            student_temp=cfg.student_temp, num_large_crops=cfg.num_large_crops,
+            center_momentum=cfg.center_momentum,
+        )
+        return loss
+
+    return eval_loss
+
+
 def make_dino_train_step(
     backbone_apply: Callable,
     head_apply: Callable,

@@ -172,6 +172,26 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
             val_transform_for_train=True,
         )
 
+    ssl_val = None
+    if cfg.get("ssl_val_loss") and val_loader is not None:
+        from chadavit_tpu.train.dino_step import DinoStepConfig, make_dino_eval_loss
+
+        def backbone_apply(p, x, c):
+            return model.apply({"params": p}, x.astype(spec.dtype), c)
+
+        def head_apply(p, f):
+            return head.apply({"params": p}, f)
+
+        eval_cfg = DinoStepConfig(
+            num_large_crops=2, student_temp=spec.student_temperature,
+            warmup_teacher_temp=spec.warmup_teacher_temperature,
+            teacher_temp=spec.teacher_temperature,
+            warmup_teacher_temp_epochs=spec.warmup_teacher_temperature_epochs,
+            steps_per_epoch=steps_per_epoch, total_steps=spec.total_steps,
+            accumulate=spec.accumulate_grad_batches,
+        )
+        ssl_val = jax.jit(make_dino_eval_loss(backbone_apply, head_apply, eval_cfg))
+
     def validate(epoch: int):
         if val_loader is None:
             return {}
@@ -193,6 +213,14 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
                                   k=k, distance_fx=cfg.get("knn_eval", {}).get(
                                       "distance_func", "cosine"))
         out = {"val_knn_top1": top1, "val_knn_top5": top5}
+        if ssl_val is not None:
+            losses = []
+            for vb in val_loader:
+                imgs = jnp.asarray(vb["images"], spec.dtype)
+                vbatch = {"crops": jnp.stack([imgs, imgs], 0),
+                          "channel_counts": jnp.asarray(vb["channel_counts"])}
+                losses.append(float(ssl_val(state, vbatch)))
+            out["dino_loss_val"] = float(np.mean(losses))
         logger.log(out, step=int(jax.device_get(state.step)))
         return out
 

@@ -128,3 +128,21 @@ def test_main_pretrain_device_augmentations(tmp_path, monkeypatch):
         "--config-path", SMOKE, "--config-name", "dino_synthetic",
         "max_steps=3", "data.size=32", "device_augmentations=true",
     ])
+
+
+def test_main_pretrain_validation_knn_and_ssl_loss(tmp_path, monkeypatch):
+    """Online kNN validation + SSL val loss run at epoch end."""
+    monkeypatch.chdir(tmp_path)
+    import io
+    from contextlib import redirect_stdout
+
+    from chadavit_tpu.cli import apply_overrides
+    from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
+    from chadavit_tpu.train.loop import run_dino_pretrain
+
+    cfg = load_yaml(os.path.join(SMOKE, "dino_synthetic.yaml"))
+    apply_overrides(cfg, ["data.size=32", "max_epochs=1", "ssl_val_loss=true",
+                          "knn_eval.enabled=true", "knn_eval.k=3"])
+    metrics = run_dino_pretrain(parse_pretrain_cfg(cfg))
+    assert "val_knn_top1" in metrics and metrics["val_knn_top1"] >= 0
+    assert "dino_loss_val" in metrics and np.isfinite(metrics["dino_loss_val"])
