@@ -224,6 +224,11 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         logger.log(out, step=int(jax.device_get(state.step)))
         return out
 
+    # host-side dtype cast: halves host->device transfer volume for bf16 runs
+    import ml_dtypes
+
+    host_dtype = ml_dtypes.bfloat16 if spec.dtype == jnp.bfloat16 else np.float32
+
     # on-device multicrop augmentation (DALI-equivalent; see device_augment.py)
     device_aug = None
     if cfg.get("device_augmentations", False):
@@ -239,13 +244,13 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         for batch in loader:
             if device_aug is not None:
                 aug_rng, sub = jax.random.split(aug_rng)
-                out = device_aug(sub, jnp.asarray(batch["images"], spec.dtype),
+                out = device_aug(sub, jnp.asarray(batch["images"].astype(host_dtype)),
                                  jnp.asarray(batch["channel_counts"]))
                 dev_batch = {"crops": out["crops"].astype(spec.dtype),
                              "channel_counts": out["channel_counts"]}
             else:
                 dev_batch = {
-                    "crops": jnp.asarray(batch["crops"], spec.dtype),
+                    "crops": jnp.asarray(batch["crops"].astype(host_dtype)),
                     "channel_counts": jnp.asarray(batch["channel_counts"]),
                 }
             state, metrics = train_step(state, dev_batch)

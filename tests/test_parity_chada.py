@@ -155,3 +155,32 @@ def test_bucketed_dense_width_equals_padded(torch_ref, jax_model, rng):
     out_bucket = np.asarray(jmodel.apply(variables, jnp.asarray(imgs), jnp.asarray(counts)))
     out_padded = np.asarray(jmodel.apply(variables, jnp.asarray(padded), jnp.asarray(counts)))
     np.testing.assert_allclose(out_bucket, out_padded, rtol=1e-5, atol=1e-5)
+
+
+def test_intermediate_layers_parity(torch_ref, jax_model, rng):
+    torch, tmodel = torch_ref
+    jmodel, variables = jax_model
+    counts = [2, 4]
+    flat, lst = _mixed_batch(rng, counts)
+    dense, cc = densify_one_channel_batch(flat, lst, max_channels=10)
+
+    outs = jmodel.apply(variables, dense, cc, 2, method="get_intermediate_layers")
+    assert len(outs) == 2
+
+    # torch reference: run blocks manually (the reference's method has a
+    # signature bug — tokenization without args, chada_vit.py:323 — so we
+    # replicate its documented behavior: normed outputs of the last n blocks)
+    with torch.no_grad():
+        x, mask = tmodel.channel_aware_tokenization(torch.from_numpy(flat), 0, [lst])
+        ref_outs = []
+        for i, blk in enumerate(tmodel.blocks):
+            x = blk(x, src_key_padding_mask=mask)
+            if len(tmodel.blocks) - i <= 2:
+                ref_outs.append(tmodel.norm(x).numpy())
+
+    s_real = ref_outs[0].shape[1]
+    for got, want in zip(outs, ref_outs):
+        got = np.asarray(got)[:, :s_real]
+        # compare only valid (non-padded) positions
+        valid = ~np.asarray(mask.numpy())
+        np.testing.assert_allclose(got[valid], want[valid], rtol=1e-4, atol=2e-4)
