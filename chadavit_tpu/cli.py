@@ -75,6 +75,25 @@ def load_backbone_for_eval(cfg: Config):
     from chadavit_tpu.models import get_backbone
     from chadavit_tpu.data.classification import dataset_img_channels
 
+    # rebuild the model config from the checkpoint's args.json sidecar when
+    # present (reference main_knn.py:181-196: eval entry points reconstruct the
+    # model from the training run's saved config)
+    ckpt_probe = cfg.get("pretrained_feature_extractor") or cfg.get("weights_init")
+    if ckpt_probe and os.path.isdir(str(ckpt_probe)):
+        sidecar = os.path.join(os.path.dirname(str(ckpt_probe).rstrip("/")), "args.json")
+        if os.path.isfile(sidecar):
+            import json
+
+            saved = json.load(open(sidecar))
+            saved_bk = saved.get("backbone", {})
+            if saved_bk.get("name"):
+                cfg.backbone.name = saved_bk["name"]
+                # training-run kwargs define the architecture (they must match
+                # the weights); eval-yaml kwargs only fill gaps (e.g. img_size)
+                merged = dict(cfg.backbone.get("kwargs", {}))
+                merged.update(saved_bk.get("kwargs", {}))
+                cfg.backbone.kwargs = merged
+
     bk = dict(cfg.backbone.get("kwargs", {}))
     strategy = cfg.get("channels_strategy")
     img_channels = cfg.data.get("img_channels", dataset_img_channels(cfg.data.dataset))

@@ -24,14 +24,14 @@ import numpy as np
 
 
 def _to_dense(images: Sequence[np.ndarray], max_channels: int,
-              channels_last: bool = False) -> tuple:
+              channels_last: bool = False, dtype=np.float32) -> tuple:
     """CHW images (HWC when ``channels_last``) with ragged channel counts ->
     (B, C_max, H, W) + counts."""
     b = len(images)
     if channels_last:
         images = [np.ascontiguousarray(img.transpose(2, 0, 1)) for img in images]
     h, w = images[0].shape[-2:]
-    out = np.zeros((b, max_channels, h, w), np.float32)
+    out = np.zeros((b, max_channels, h, w), dtype)
     counts = np.empty((b,), np.int32)
     for i, img in enumerate(images):
         c = min(img.shape[0], max_channels)
@@ -41,7 +41,7 @@ def _to_dense(images: Sequence[np.ndarray], max_channels: int,
 
 
 def dense_collate(batch: List, max_channels: int,
-                  channels_last: bool = False) -> Dict[str, np.ndarray]:
+                  channels_last: bool = False, dtype=np.float32) -> Dict[str, np.ndarray]:
     """Collate ``[(img_or_crops, label), ...]`` (optionally ``(idx, img, label)``)
     into dense arrays. Multi-crop samples produce ``crops`` stacked crop-major
     ``(num_crops, B, C_max, H, W)`` grouped by crop size; single images produce
@@ -68,7 +68,7 @@ def dense_collate(batch: List, max_channels: int,
             crops, counts = [], None
             for ci in idxs:
                 dense, counts = _to_dense([s[ci] for s in samples], max_channels,
-                                          channels_last)
+                                          channels_last, dtype)
                 crops.append(dense)
             return np.stack(crops, 0), counts
 
@@ -78,7 +78,7 @@ def dense_collate(batch: List, max_channels: int,
         assert len(large_idx) + len(small_idx) == num_crops
         return out
 
-    dense, counts = _to_dense(samples, max_channels, channels_last)
+    dense, counts = _to_dense(samples, max_channels, channels_last, dtype)
     return {"images": dense, "channel_counts": counts, "labels": labels}
 
 
@@ -111,14 +111,16 @@ class HostLoader:
         channels_last: bool = False,
         bucket_by_channels: bool = False,
         bucket_round: int = 2,
+        dtype=np.float32,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_channels = max_channels
         self._channels_last = channels_last
         self._user_collate = collate_fn
+        self._dtype = dtype
         self.collate_fn = collate_fn or (
-            lambda b: dense_collate(b, max_channels, channels_last))
+            lambda b: dense_collate(b, max_channels, channels_last, dtype))
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
@@ -181,7 +183,7 @@ class HostLoader:
                     samples = [self.dataset[int(i)] for i in idxs]
                     if self.bucket_by_channels and self._user_collate is None:
                         batch = dense_collate(samples, self._bucket_width(idxs),
-                                              self._channels_last)
+                                              self._channels_last, self._dtype)
                     else:
                         batch = self.collate_fn(samples)
                     # emit strictly in batch order; puts stay inside the lock so

@@ -17,15 +17,26 @@ import jax
 import jax.numpy as jnp
 
 
+CHADAVIT16_MOYEN_MD5 = "e8a24ac58b8e34bdce10e0024d507f2e"  # HOW_TO_USE cell-8/9
+
+
 def load_chadavit16_moyen(checkpoint: Optional[str] = None, img_size: int = 224,
-                          dtype=jnp.float32):
+                          dtype=jnp.float32, verify_md5: bool = False):
     """Returns (model, variables) for the canonical checkpoint config
-    (reference ``HOW_TO_USE.ipynb`` cell-13, ``chada_vit.py:333-339``)."""
+    (reference ``HOW_TO_USE.ipynb`` cell-13, ``chada_vit.py:333-339``).
+    ``verify_md5=True`` checks the published checkpoint hash (cell-8/9)."""
     from chadavit_tpu.models import chada_vit
     from chadavit_tpu.models.import_torch import import_backbone_checkpoint
 
     model = chada_vit(patch_size=16, embed_dim=192, return_all_tokens=False,
                       max_number_channels=10, img_size=img_size, dtype=dtype)
+    if checkpoint and verify_md5:
+        import hashlib
+
+        digest = hashlib.md5(open(checkpoint, "rb").read()).hexdigest()
+        if digest != CHADAVIT16_MOYEN_MD5:
+            raise ValueError(
+                f"checkpoint md5 {digest} != published {CHADAVIT16_MOYEN_MD5}")
     if checkpoint:
         params = import_backbone_checkpoint(checkpoint, backbone="vit_channels", depth=12)
     else:

@@ -384,6 +384,19 @@ class ChAdaViT(nn.Module):
             return tokens, valid
         return emb[:, 0]
 
+    def channel_token_sanity_check(self, verbose: bool = True):
+        """Consistency checks on the learned channel tokens (reference
+        ``chada_vit.py:291-311``): each channel slot carries one distinct
+        vector, identical across patches and batch by construction here; this
+        reports inter-channel token distances for debugging collapse."""
+        import numpy as _np
+
+        tok = _np.asarray(self.channel_token)[0, :, 0]  # (C, D)
+        d = _np.linalg.norm(tok[:, None] - tok[None, :], axis=-1)
+        if verbose:
+            print("channel-token pairwise L2 distances:\n", _np.round(d, 3))
+        return d
+
     def get_last_selfattention(self, x: Array) -> Array:
         """Attention weights of the last block for a single-channel input
         (reference ``chada_vit.py:313-320``; used by ``main_attn.py``).

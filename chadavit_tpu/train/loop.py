@@ -224,10 +224,10 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         logger.log(out, step=int(jax.device_get(state.step)))
         return out
 
-    # host-side dtype cast: halves host->device transfer volume for bf16 runs
     import ml_dtypes
 
-    host_dtype = ml_dtypes.bfloat16 if spec.dtype == jnp.bfloat16 else np.float32
+    def _host_cast(a):
+        return a.astype(ml_dtypes.bfloat16) if spec.dtype == jnp.bfloat16 else a
 
     # on-device multicrop augmentation (DALI-equivalent; see device_augment.py)
     device_aug = None
@@ -242,15 +242,16 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     for epoch in range(start_epoch, cfg.max_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
+    # one whole-batch host cast halves transfer volume for bf16 runs
             if device_aug is not None:
                 aug_rng, sub = jax.random.split(aug_rng)
-                out = device_aug(sub, jnp.asarray(batch["images"].astype(host_dtype)),
+                out = device_aug(sub, jnp.asarray(_host_cast(batch["images"])),
                                  jnp.asarray(batch["channel_counts"]))
                 dev_batch = {"crops": out["crops"].astype(spec.dtype),
                              "channel_counts": out["channel_counts"]}
             else:
                 dev_batch = {
-                    "crops": jnp.asarray(batch["crops"].astype(host_dtype)),
+                    "crops": jnp.asarray(_host_cast(batch["crops"])),
                     "channel_counts": jnp.asarray(batch["channel_counts"]),
                 }
             state, metrics = train_step(state, dev_batch)

@@ -146,3 +146,31 @@ def test_main_pretrain_validation_knn_and_ssl_loss(tmp_path, monkeypatch):
     metrics = run_dino_pretrain(parse_pretrain_cfg(cfg))
     assert "val_knn_top1" in metrics and metrics["val_knn_top1"] >= 0
     assert "dino_loss_val" in metrics and np.isfinite(metrics["dino_loss_val"])
+
+
+def test_knn_reconstructs_model_from_args_json(tmp_path, monkeypatch):
+    """Eval entry points rebuild the backbone config from the checkpoint's
+    args.json sidecar (reference main_knn.py:181-196)."""
+    monkeypatch.chdir(tmp_path)
+    from chadavit_tpu.cli import apply_overrides
+    from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
+    from chadavit_tpu.train.loop import run_dino_pretrain
+
+    cfg = load_yaml(os.path.join(SMOKE, "dino_synthetic.yaml"))
+    apply_overrides(cfg, ["checkpoint.enabled=true", f"checkpoint.dir={tmp_path}/ck",
+                          "data.size=32", "max_epochs=1"])
+    run_dino_pretrain(parse_pretrain_cfg(cfg), max_steps=2)
+    run_dir = next((tmp_path / "ck" / "dino").iterdir())
+    ckpt = next(p for p in run_dir.iterdir() if "-ep=" in p.name)
+
+    import main_knn
+
+    # deliberately WRONG embed_dim in the eval yaml: the training run's
+    # args.json must win (it defines the architecture matching the weights)
+    main_knn.main([
+        "--config-path", SMOKE, "--config-name", "knn_synthetic",
+        f"pretrained_feature_extractor={ckpt}",
+        "backbone.kwargs.embed_dim=999",  # corrected by args.json reconstruction
+        "name=knn-args-smoke",
+    ])
+    assert (tmp_path / "knn-args-smoke_knn_offline_eval.csv").exists()

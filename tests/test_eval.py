@@ -182,3 +182,23 @@ def test_regression_probe_learns(rng):
         state, m = step(state, batch, jax.random.PRNGKey(i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.05, (losses[0], losses[-1])
+
+
+def test_one_channel_strategy_features(rng):
+    """`one_channel`: a plain 1-channel ViT runs per channel plane; features
+    concatenate to (B, c*D) (reference base.py:538-543, linear.py:400-427)."""
+    from chadavit_tpu.eval.features import features_dim, make_feature_fn
+    from chadavit_tpu.models import vit_ultra_tiny
+
+    model = vit_ultra_tiny(img_size=32, in_chans=1)
+    imgs = rng.random((4, 3, 32, 32)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs[:, :1]))["params"]
+
+    fn = make_feature_fn(model, "one_channel", img_channels=3)
+    feats = np.asarray(fn(params, jnp.asarray(imgs), jnp.full((4,), 3)))
+    assert feats.shape == (4, 3 * 32)
+    assert feats.shape[1] == features_dim("one_channel", 32, model.num_patches, 3, False)
+
+    # per-plane consistency: plane 1 of image 0 embeds like a 1-channel forward
+    single = np.asarray(model.apply({"params": params}, jnp.asarray(imgs[0:1, 1:2])))
+    np.testing.assert_allclose(feats[0, 32:64], single[0], rtol=1e-5, atol=1e-5)

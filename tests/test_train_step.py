@@ -100,3 +100,16 @@ def test_prototype_freeze_then_update():
     state, _ = step(state, batch)  # step 2, epoch 1: training
     v_after = np.asarray(jax.device_get(state.student["head"]["last_layer_v"]))
     assert not np.array_equal(v_after, v0)
+
+
+def test_seed_determinism():
+    """Same seed + same data -> bitwise-identical first-step loss."""
+    mesh = make_mesh(n_model=1, devices=jax.devices()[:1])
+    spec = DinoPretrainSpec(**TINY)
+    batch = synthetic_dino_batch(spec, batch_size=4)
+    losses = []
+    for _ in range(2):
+        state, step, _, _ = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(7))
+        _, m = step(state, batch)
+        losses.append(float(m["dino_loss"]))
+    assert losses[0] == losses[1]
