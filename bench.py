@@ -55,21 +55,20 @@ def main():
     )
     state, step, _, _ = build_dino(spec, mesh=make_mesh(n_model=1))
 
-    # synthetic mixed 1-10-channel dataset through the real host pipeline;
-    # bucket_round=4 keeps compilation to 3 step shapes (widths 4, 8, 10)
+    # synthetic mixed 1-10-channel dataset through the real host pipeline:
+    # raw 8-bit planes (as decoded microscopy data), dense uint8 batches,
+    # normalization on-device — the production transfer layout
+    import numpy as np
+
     ds = SyntheticChannels(n=(STEPS + 10) * BATCH, img_size=224,
-                           min_channels=1, max_channels=10, seed=0)
+                           min_channels=1, max_channels=10, seed=0, dtype=np.uint8)
     loader = HostLoader(ds, batch_size=BATCH, max_channels=10, num_workers=8,
                         seed=0, channels_last=True,
-                        bucket_by_channels=True, bucket_round=2)
-
-    import ml_dtypes
+                        bucket_by_channels=True, bucket_round=2, dtype=np.uint8)
 
     def to_step_batch(b):
-        # one vectorized whole-batch cast: halves host->device transfer volume
-        # (casting inside the collate is slower: ml_dtypes numpy ops are
-        # software-emulated elementwise)
-        imgs = jnp.asarray(b["images"].astype(ml_dtypes.bfloat16))
+        # transfer raw uint8 (4x less than f32), normalize on device
+        imgs = jnp.asarray(b["images"]).astype(spec.dtype) * (1.0 / 255.0)
         return {
             "crops": jnp.stack([imgs, imgs], 0),  # 2 global views
             "channel_counts": jnp.asarray(b["channel_counts"]),

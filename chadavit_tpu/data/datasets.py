@@ -345,18 +345,21 @@ class H5Dataset:
 
 
 class SyntheticChannels:
-    """Random mixed-channel dataset for tests and benchmarks."""
+    """Random mixed-channel dataset for tests and benchmarks. ``dtype=uint8``
+    mimics raw 8-bit microscopy planes (values 0..255)."""
 
     task = "pretrain"
 
     def __init__(self, n: int = 256, img_size: int = 224, min_channels: int = 1,
                  max_channels: int = 10, num_classes: int = 7,
-                 transform: Optional[Callable] = None, seed: int = 0):
+                 transform: Optional[Callable] = None, seed: int = 0,
+                 dtype=np.float32):
         self.n, self.img_size = n, img_size
         self.min_channels, self.max_channels = min_channels, max_channels
         self.num_classes = num_classes
         self.transform = transform
         self.seed = seed
+        self.dtype = np.dtype(dtype)
 
     def __len__(self):
         return self.n
@@ -368,7 +371,10 @@ class SyntheticChannels:
     def __getitem__(self, index: int):
         rng = np.random.default_rng(self.seed * 1_000_003 + index)
         c = int(rng.integers(self.min_channels, self.max_channels + 1))
-        img = rng.random((self.img_size, self.img_size, c), dtype=np.float32)
+        if self.dtype == np.uint8:
+            img = rng.integers(0, 256, (self.img_size, self.img_size, c)).astype(np.uint8)
+        else:
+            img = rng.random((self.img_size, self.img_size, c), dtype=np.float32)
         label = int(rng.integers(0, self.num_classes))
         if self.transform is not None:
             img = self.transform(img)
