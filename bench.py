@@ -16,8 +16,10 @@ import time
 
 
 A100_EST_IMG_S = 40.0  # analytic A100 estimate for the torch reference; see BASELINE.md
-BATCH = 32
-STEPS = 40  # timed steps across bucket widths
+import os
+
+BATCH = int(os.environ.get("CHADAVIT_BENCH_BATCH", 32))
+STEPS = int(os.environ.get("CHADAVIT_BENCH_STEPS", 40))  # timed steps across bucket widths
 
 
 def main():

@@ -47,11 +47,37 @@ def prepare_data(
     augment_train: bool = True,
     val_transform_for_train: bool = False,
     seed: int = 0,
+    native_loader: bool = False,
     **dataset_kwargs,
 ) -> Tuple[HostLoader, Optional[HostLoader]]:
     """Build (train_loader, val_loader) (reference
     ``classification_dataloader.py:508-582``; ``main_knn.py:205-223`` passes the
-    *val* transform for both splits via ``val_transform_for_train``)."""
+    *val* transform for both splits via ``val_transform_for_train``).
+
+    ``native_loader=True`` (eval paths only: deterministic resize transform)
+    swaps in :class:`chadavit_tpu.data.native.NativeEvalLoader` — the whole
+    decode+resize runs in the C++ threadpool. Note: the native path resizes
+    bilinearly while the host path uses cubic; features differ slightly."""
+    if native_loader and val_transform_for_train:
+        from chadavit_tpu.data import native
+
+        if native.is_available() and dataset != "synthetic":
+            train_ds = prepare_datasets(dataset, transform=None, train_path=train_path,
+                                        train=True, sample_ratio=sample_ratio,
+                                        **dataset_kwargs)
+            tl = native.NativeEvalLoader(train_ds, batch_size=batch_size,
+                                         max_channels=max_channels,
+                                         height=crop_size, width=crop_size)
+            vl = None
+            if val_path is not None:
+                val_ds = prepare_datasets(dataset, transform=None,
+                                          train_path=val_path, train=False,
+                                          **dataset_kwargs)
+                vl = native.NativeEvalLoader(val_ds, batch_size=batch_size,
+                                             max_channels=max_channels,
+                                             height=crop_size, width=crop_size)
+            return tl, vl
+
     t_train, t_val = prepare_transforms(dataset, crop_size, augment_train)
     if val_transform_for_train:
         t_train = t_val

@@ -111,9 +111,10 @@ def _dq_kernel(vl_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                                         preferred_element_type=jnp.float32)
 
     dq0 = jnp.zeros((bq, hd), jnp.float32)
-    # query blocks fully beyond the valid prefix carry zero cotangent: skip
-    run = qi * bq < vl
-    dq = jax.lax.cond(run, lambda: jax.lax.fori_loop(0, num_k_blocks, body, dq0), lambda: dq0)
+    # query blocks fully beyond the valid prefix carry zero cotangent: zero
+    # trips (cheaper than lax.cond under Mosaic)
+    trips = jnp.where(qi * bq < vl, num_k_blocks, 0)
+    dq = jax.lax.fori_loop(0, trips, body, dq0)
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
@@ -149,8 +150,9 @@ def _dkv_kernel(vl_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         return dk, dv
 
     z = (jnp.zeros((bk, hd), jnp.float32), jnp.zeros((bk, hd), jnp.float32))
-    run = kj * bk < vl  # whole key block masked -> zero grads
-    dk, dv = jax.lax.cond(run, lambda: jax.lax.fori_loop(0, num_q_blocks, body, z), lambda: z)
+    # whole key block masked -> zero grads via zero loop trips
+    trips = jnp.where(kj * bk < vl, num_q_blocks, 0)
+    dk, dv = jax.lax.fori_loop(0, trips, body, z)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 

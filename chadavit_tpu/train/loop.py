@@ -62,6 +62,9 @@ def spec_from_cfg(cfg: Config, steps_per_epoch: int) -> DinoPretrainSpec:
         warmup_epochs=sched.warmup_epochs,
         warmup_start_lr=sched.warmup_start_lr if sched.warmup_epochs > 0 else opt.lr,
         min_lr=sched.min_lr,
+        channels_strategy=cfg.get("channels_strategy", "multi_channels"),
+        mixed_channels=cfg.get("mixed_channels", True),
+        img_channels=cfg.data.get("img_channels", 3),
         num_large_crops=cfg.data.num_large_crops,
         max_epochs=cfg.max_epochs,
         steps_per_epoch=steps_per_epoch,

@@ -37,6 +37,11 @@ class DinoPretrainSpec:
     ))
     img_size: int = 224
     max_channels: int = 10
+    # channel strategy (reference base.py:508-559): "multi_channels" (ChAdaViT),
+    # "one_channel" (plain ViT per channel plane), or None (RGB/fixed channels)
+    channels_strategy: Optional[str] = "multi_channels"
+    mixed_channels: bool = True
+    img_channels: int = 3
     # head (method_kwargs)
     proj_hidden_dim: int = 2048
     proj_output_dim: int = 256
@@ -95,8 +100,23 @@ def build_dino(
     bk = dict(spec.backbone_kwargs)
     bk.setdefault("img_size", spec.img_size)
     bk["dtype"] = spec.dtype
+    is_chada = spec.backbone in ("vit_channels", "chada_vit")
+    if not is_chada:
+        bk.pop("return_all_tokens", None)
+        bk.pop("max_number_channels", None)
+        bk.setdefault("in_chans", 1 if spec.channels_strategy == "one_channel"
+                      else spec.img_channels)
     model = get_backbone(spec.backbone, **bk)
-    features_dim = bk.get("embed_dim", getattr(model, "embed_dim", 192))
+
+    from chadavit_tpu.eval.features import features_dim as _features_dim, make_feature_fn
+
+    embed_dim = bk.get("embed_dim", getattr(model, "embed_dim", 192))
+    features_dim = _features_dim(
+        spec.channels_strategy if not spec.mixed_channels or not is_chada else None,
+        embed_dim, getattr(model, "num_patches", 196),
+        spec.img_channels,
+        bk.get("return_all_tokens", False),
+    ) if not is_chada else embed_dim
 
     head = DINOHead(
         in_dim=features_dim,
@@ -109,9 +129,13 @@ def build_dino(
     )
 
     r1, r2 = jax.random.split(rng)
-    dummy = jnp.zeros((1, spec.max_channels, spec.img_size, spec.img_size), spec.dtype)
-    dummy_cc = jnp.ones((1,), jnp.int32)
-    backbone_params = model.init(r1, dummy, dummy_cc)["params"]
+    if is_chada:
+        dummy = jnp.zeros((1, spec.max_channels, spec.img_size, spec.img_size), spec.dtype)
+        backbone_params = model.init(r1, dummy, jnp.ones((1,), jnp.int32))["params"]
+    else:
+        c_in = bk.get("in_chans", 1)
+        dummy = jnp.zeros((1, c_in, spec.img_size, spec.img_size), spec.dtype)
+        backbone_params = model.init(r1, dummy)["params"]
     head_params = head.init(r2, jnp.zeros((1, features_dim), spec.dtype))["params"]
     student = {"backbone": backbone_params, "head": head_params}
 
@@ -155,8 +179,16 @@ def build_dino(
         accumulate=spec.accumulate_grad_batches,
     )
 
-    def backbone_apply(params, x, cc):
-        return model.apply({"params": params}, x, cc)
+    if is_chada:
+        def backbone_apply(params, x, cc):
+            return model.apply({"params": params}, x, cc)
+    else:
+        backbone_apply = make_feature_fn(
+            model, spec.channels_strategy,
+            return_all_tokens=False,
+            mixed_channels=spec.mixed_channels,
+            img_channels=spec.img_channels,
+        )
 
     def head_apply(params, feats):
         return head.apply({"params": params}, feats)

@@ -36,6 +36,7 @@ def main(argv=None):
         crop_size=cfg.data.get("augmentations", {}).get("crop_size", 224),
         sample_ratio=cfg.data.get("sample_ratio", 1.0),
         val_transform_for_train=True,  # val transform for BOTH splits
+        native_loader=cfg.get("native_loader", False),
     )
 
     feature_fn = make_feature_fn(

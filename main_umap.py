@@ -68,6 +68,7 @@ def main(argv=None):
         num_workers=cfg.data.get("num_workers", 4),
         crop_size=cfg.data.get("augmentations", {}).get("crop_size", 224),
         val_transform_for_train=True,
+        native_loader=cfg.get("native_loader", False),
     )
     feature_fn = make_feature_fn(
         model, cfg.get("channels_strategy"),

@@ -91,3 +91,33 @@ def test_native_eval_loader(tmp_path, image_dir):
     assert batches[0]["images"].shape == (2, 2, 8, 8)
     assert list(batches[0]["labels"]) == [1, 0]
     assert list(batches[1]["labels"]) == [2]
+
+
+def test_prepare_data_native_path(tmp_path):
+    """main_knn-style eval data through the C++ loader."""
+    import csv as csvmod
+
+    from PIL import Image
+
+    from chadavit_tpu.data.classification import prepare_data
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng2 = np.random.default_rng(1)
+    rows = []
+    for i in range(6):
+        paths = []
+        for c in range(1 + i % 2):
+            p = f"i{i}_c{c}.png"
+            Image.fromarray((rng2.random((12, 12)) * 255).astype(np.uint8)).save(img_dir / p)
+            paths.append(p)
+        rows.append([f"id{i}", str(paths)])
+    with open(tmp_path / "train.csv", "w", newline="") as f:
+        csvmod.writer(f).writerows(rows)
+
+    tl, vl = prepare_data("idrcell100k", train_path=str(tmp_path), val_path=None,
+                          batch_size=3, max_channels=2, crop_size=8,
+                          val_transform_for_train=True, native_loader=True)
+    batches = list(tl)
+    assert batches[0]["images"].shape == (3, 2, 8, 8)
+    assert sum(len(b["labels"]) for b in batches) == 6

@@ -113,3 +113,40 @@ def test_seed_determinism():
         _, m = step(state, batch)
         losses.append(float(m["dino_loss"]))
     assert losses[0] == losses[1]
+
+
+def test_dino_one_channel_backbone():
+    """DINO pretraining with the `one_channel` strategy: a plain 1-channel ViT
+    applied per channel plane (reference base.py:538-543 with vit_* backbones)."""
+    mesh = make_mesh(n_model=1, devices=jax.devices()[:1])
+    spec = DinoPretrainSpec(
+        backbone="vit_ultra_tiny",
+        backbone_kwargs=dict(patch_size=16),
+        img_size=32, max_channels=3, img_channels=3,
+        channels_strategy="one_channel", mixed_channels=False,
+        proj_hidden_dim=32, proj_output_dim=16, num_prototypes=64,
+        steps_per_epoch=2, max_epochs=2, warmup_epochs=0,
+    )
+    state, step, _, _ = build_dino(spec, mesh=mesh)
+    batch = synthetic_dino_batch(spec, batch_size=4)
+    batch["channel_counts"] = jnp.full((4,), 3, jnp.int32)  # fixed 3 channels
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["dino_loss"]))
+
+
+def test_dino_rgb_backbone():
+    """DINO pretraining with a fixed-channel (RGB-style) plain ViT."""
+    mesh = make_mesh(n_model=1, devices=jax.devices()[:1])
+    spec = DinoPretrainSpec(
+        backbone="vit_ultra_tiny",
+        backbone_kwargs=dict(patch_size=16),
+        img_size=32, max_channels=3, img_channels=3,
+        channels_strategy=None, mixed_channels=False,
+        proj_hidden_dim=32, proj_output_dim=16, num_prototypes=64,
+        steps_per_epoch=2, max_epochs=2, warmup_epochs=0,
+    )
+    state, step, _, _ = build_dino(spec, mesh=mesh)
+    batch = synthetic_dino_batch(spec, batch_size=4)
+    batch["channel_counts"] = jnp.full((4,), 3, jnp.int32)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["dino_loss"]))
