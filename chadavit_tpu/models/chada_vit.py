@@ -228,6 +228,10 @@ class ChAdaViT(nn.Module):
     # extra positions are masked and sliced off. 0 disables.
     seq_pad_multiple: int = 256
     patch_embed_conv: bool = True
+    # "xla" (default) or "pallas": the fused tokenizer kernel (ops/tokenizer.py)
+    # embeds+positions+channel-tags each plane in one VMEM pass. Inference-only
+    # for now (no custom VJP yet — see ROADMAP.md).
+    tokenizer_impl: str = "xla"
 
     @property
     def num_patches(self) -> int:
@@ -314,18 +318,27 @@ class ChAdaViT(nn.Module):
         assert c == max_channels
         assert c <= self.max_channels
 
-        tokens = self.patch_embed(x.astype(self.dtype))  # (B, C, N, D)
-        n = tokens.shape[2]
-
+        n = (h // self.patch_size) * (w // self.patch_size)
         mask = channel_padding_mask(channel_counts, c, n)  # (B, 1 + C*N)
 
-        # positional embedding: the same row broadcast over channels
-        tokens = tokens + self._patch_pos_embed(w, h).astype(self.dtype)
+        if self.tokenizer_impl == "pallas" and add_channel_tokens:
+            from chadavit_tpu.ops.tokenizer import fused_tokenize
 
-        if add_channel_tokens:
-            tokens = tokens + self.channel_token[:, :c].astype(self.dtype)
-
-        tokens = tokens.reshape(b, c * n, self.embed_dim)
+            tokens = fused_tokenize(
+                x.astype(self.dtype),
+                self.variables["params"]["patch_embed"]["kernel"],
+                self.variables["params"]["patch_embed"]["bias"],
+                self._patch_pos_embed(w, h)[0, 0].astype(self.dtype),
+                self.channel_token[0, :c, 0].astype(self.dtype),
+                patch=self.patch_size,
+            )  # (B, C*N, D), pos + channel tokens included
+        else:
+            tokens = self.patch_embed(x.astype(self.dtype))  # (B, C, N, D)
+            # positional embedding: the same row broadcast over channels
+            tokens = tokens + self._patch_pos_embed(w, h).astype(self.dtype)
+            if add_channel_tokens:
+                tokens = tokens + self.channel_token[:, :c].astype(self.dtype)
+            tokens = tokens.reshape(b, c * n, self.embed_dim)
 
         cls = self.cls_token.astype(self.dtype) + self.pos_embed[:, :, 0].astype(self.dtype)
         cls = jnp.broadcast_to(cls, (b, 1, self.embed_dim))
@@ -443,6 +456,7 @@ def chada_vit(**kwargs) -> ChAdaViT:
         attn_impl=kwargs.get("attn_impl", "auto"),
         seq_pad_multiple=kwargs.get("seq_pad_multiple", 256),
         patch_embed_conv=kwargs.get("patch_embed_conv", True),
+        tokenizer_impl=kwargs.get("tokenizer_impl", "xla"),
     )
 
 

@@ -1,0 +1,89 @@
+"""Fused channel-adaptive tokenizer — Pallas kernel (SURVEY §7.6a).
+
+Fuses the whole ChAdaViT tokenization of one channel plane into one kernel
+pass over VMEM (reference ``channel_aware_tokenization``, ``chada_vit.py:219-270``):
+
+    unfold(plane) @ W + b  +  pos_embed  +  channel_token[c]
+
+Grid is ``(B, C)``: each step reads one ``(H, W)`` plane, unfolds it to
+``(N, p*p)`` patches with sublane reshapes (no HBM round-trip for the unfold —
+the XLA path materializes the patch matrix), runs the ``(N, p*p) @ (p*p, D)``
+MXU matmul, and adds bias + positional row + that channel's token before a
+single write of the ``(N, D)`` block.
+
+The CLS token is prepended outside the kernel (one row). Opt-in via
+``ChAdaViT(tokenizer_impl="pallas")``; the XLA conv path remains the default
+and the parity reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _tokenizer_kernel(x_ref, w_ref, b_ref, pos_ref, chtok_ref, o_ref, *, patch: int):
+    c = pl.program_id(1)
+    plane = x_ref[0, 0]  # (H, W)
+    h, w = plane.shape
+    gh, gw = h // patch, w // patch
+
+    # unfold: (H, W) -> (gh, p, gw, p) -> (gh, gw, p, p) -> (N, p*p)
+    patches = plane.reshape(gh, patch, gw, patch)
+    patches = patches.transpose(0, 2, 1, 3).reshape(gh * gw, patch * patch)
+
+    tokens = jax.lax.dot_general(
+        patches, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tokens = tokens + b_ref[...].astype(jnp.float32)
+    tokens = tokens + pos_ref[...].astype(jnp.float32)
+    tokens = tokens + chtok_ref[pl.ds(c, 1), :].astype(jnp.float32)
+    o_ref[0, 0] = tokens.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("patch", "interpret"))
+def fused_tokenize(
+    x: Array,  # (B, C, H, W)
+    kernel: Array,  # (p*p, D)
+    bias: Array,  # (D,)
+    patch_pos: Array,  # (N, D) positional rows for the patch grid
+    channel_tokens: Array,  # (C_model, D) one token per channel slot
+    patch: int = 16,
+    interpret: bool = False,
+) -> Array:
+    """Returns ``(B, C*N, D)`` fully-embedded patch tokens."""
+    b, c, h, w = x.shape
+    n = (h // patch) * (w // patch)
+    d = kernel.shape[1]
+    dtype = x.dtype
+
+    out = pl.pallas_call(
+        functools.partial(_tokenizer_kernel, patch=patch),
+        grid=(b, c),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, w), lambda bi, ci: (bi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((patch * patch, d), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda bi, ci: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda bi, ci: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((channel_tokens.shape[0], d), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n, d), lambda bi, ci: (bi, ci, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, n, d), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(x, kernel.astype(dtype), bias.astype(dtype).reshape(1, d),
+      patch_pos.astype(dtype), channel_tokens.astype(dtype))
+    return out.reshape(b, c * n, d)
