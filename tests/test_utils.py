@@ -40,12 +40,15 @@ def test_sinkhorn_doubly_stochastic(rng):
     np.testing.assert_allclose(q.sum(0), 32 / 8, atol=0.5)
 
 
-def test_kmeans_recovers_clusters(rng):
+def test_kmeans_recovers_clusters():
     from chadavit_tpu.utils.cluster import kmeans
 
+    # deterministic data + init key: k-means recovery depends on the random
+    # init, so the test must not share the mutable session rng
+    local = np.random.default_rng(42)
     centers = np.eye(3, 8) * 8
-    labels = rng.integers(0, 3, 90)
-    feats = (centers[labels] + rng.standard_normal((90, 8)) * 0.2).astype(np.float32)
+    labels = local.integers(0, 3, 90)
+    feats = (centers[labels] + local.standard_normal((90, 8)) * 0.2).astype(np.float32)
     _, assign = kmeans(jnp.asarray(feats), 3, num_iters=20, rng=jax.random.PRNGKey(1))
     assign = np.asarray(assign)
     # perfect clustering up to label permutation
