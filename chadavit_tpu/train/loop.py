@@ -128,7 +128,9 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     steps_per_epoch = max(len(loader), 1)
     spec = spec_from_cfg(cfg, steps_per_epoch)
 
-    mesh = make_mesh(n_model=1)
+    # mesh: data parallel over all devices, optionally x-way tensor parallel
+    # (model_parallel: N in the config; params shard per parallel/mesh.py rules)
+    mesh = make_mesh(n_model=int(cfg.get("model_parallel", 1) or 1))
     state, train_step, model, head = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(seed))
 
     # checkpointing + auto-resume (reference main_pretrain.py:211-230)

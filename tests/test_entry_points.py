@@ -174,3 +174,36 @@ def test_knn_reconstructs_model_from_args_json(tmp_path, monkeypatch):
         "name=knn-args-smoke",
     ])
     assert (tmp_path / "knn-args-smoke_knn_offline_eval.csv").exists()
+
+
+def test_main_pretrain_model_parallel(tmp_path, monkeypatch):
+    """model_parallel: 2 runs the full loop over a (data=4, model=2) mesh."""
+    monkeypatch.chdir(tmp_path)
+    import main_pretrain
+
+    main_pretrain.main([
+        "--config-path", SMOKE, "--config-name", "dino_synthetic",
+        "max_steps=2", "data.size=32", "model_parallel=2",
+    ])
+
+
+def test_main_attn_plain_vit(tmp_path, monkeypatch):
+    """Attention export with a plain ViT backbone (the one_channel path,
+    reference main_attn.py:135)."""
+    monkeypatch.chdir(tmp_path)
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    img_path = tmp_path / "x.png"
+    Image.fromarray((rng.random((48, 48)) * 255).astype(np.uint8)).save(img_path)
+
+    import main_attn
+
+    main_attn.main([
+        "--config-path", SMOKE, "--config-name", "knn_synthetic",
+        "backbone.name=vit_ultra_tiny",
+        "backbone.kwargs={'patch_size': 16, 'img_size': 32}",
+        "channels_strategy=one_channel",
+        f"image_path={img_path}", "output_dir=attn_vit", "name=attn-vit",
+    ])
+    assert (tmp_path / "attn_vit" / "attn-mean.png").exists()
