@@ -184,3 +184,78 @@ def test_intermediate_layers_parity(torch_ref, jax_model, rng):
         # compare only valid (non-padded) positions
         valid = ~np.asarray(mask.numpy())
         np.testing.assert_allclose(got[valid], want[valid], rtol=1e-4, atol=2e-4)
+
+
+def test_gradient_parity_vs_torch(torch_ref, jax_model, rng):
+    """Backward-path numerics: gradients match torch autograd on identical
+    weights/input — validates training, not just inference.
+
+    The probe loss contracts ALL valid token outputs with a fixed random
+    cotangent (a plain VJP, exactly what training does). Sum-of-squares probes
+    are useless here: the squared norm of LayerNorm outputs is nearly invariant
+    (||x_hat||^2 = D identically), so upstream gradients vanish to f32 noise in
+    both frameworks."""
+    torch, tmodel = torch_ref
+    jmodel, variables = jax_model
+    counts = [2, 5]
+    flat, lst = _mixed_batch(rng, counts)
+    n_tokens = sum(counts) * (IMG // 16) ** 2
+    G = rng.standard_normal((n_tokens, 192)).astype(np.float32)
+
+    # ---- torch grads (all valid tokens, random cotangent) ----
+    tmodel.zero_grad()
+    tmodel.return_all_tokens = True
+    out = tmodel(torch.from_numpy(flat), index=0, list_num_channels=[lst])
+    loss = (out * torch.from_numpy(G)).sum()
+    loss.backward()
+    tmodel.return_all_tokens = False
+    t_grads = {k: v.grad.detach().numpy() for k, v in tmodel.named_parameters()
+               if v.grad is not None}
+
+    # ---- jax grads ----
+    dense, cc = densify_one_channel_batch(flat, lst, max_channels=10)
+
+    def loss_fn(params):
+        tokens, valid = jmodel.apply({"params": params}, dense, cc,
+                                     return_dense_tokens=True)
+        # scatter G rows onto the valid positions (same ragged order as torch)
+        idx = np.cumsum(np.asarray(valid).ravel()) - 1
+        g_dense = jnp.asarray(
+            np.where(np.asarray(valid).ravel()[:, None], G[np.clip(idx, 0, None)], 0.0)
+        ).reshape(tokens.shape)
+        return jnp.sum(tokens.astype(jnp.float32) * g_dense)
+
+    g = jax.grad(loss_fn)(variables["params"])
+
+    np.testing.assert_allclose(float(loss.item()), float(loss_fn(variables["params"])),
+                               rtol=1e-4)
+
+    # NOTE: LayerNorm scale/bias params that feed directly into another
+    # LayerNorm (every blocks.*.norm*) are near-null directions — the next LN
+    # renormalizes uniform scalings away, leaving f32 cancellation residue in
+    # both frameworks (verified by finite differences) — so they are excluded.
+    checks = [
+        ("channel_token", np.asarray(g["channel_token"])),
+        ("pos_embed", np.asarray(g["pos_embed"])),
+        ("token_learner.proj.bias", np.asarray(g["patch_embed"]["bias"])),
+        ("token_learner.proj.weight",
+         np.asarray(g["patch_embed"]["kernel"]).T.reshape(192, 1, 16, 16)),
+        ("blocks.0.self_attn.in_proj_weight",
+         np.asarray(g["blocks_0"]["in_proj_kernel"]).T),
+        ("blocks.5.linear1.weight", np.asarray(g["blocks_5"]["linear1"]["kernel"]).T),
+        ("blocks.11.linear2.weight", np.asarray(g["blocks_11"]["linear2"]["kernel"]).T),
+        ("norm.weight", np.asarray(g["norm"]["scale"])),
+    ]
+    verified = 0
+    for name, got in checks:
+        want = t_grads[name]
+        if np.abs(want).max() < 1e-3:
+            # gradient is f32 cancellation residue in both frameworks (e.g.
+            # cls_token: excluded from the all-token loss, reached only through
+            # attention-key paths) — digits are unverifiable noise
+            continue
+        atol = 1e-4 * np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=atol,
+                                   err_msg=f"grad mismatch: {name}")
+        verified += 1
+    assert verified >= 5, f"too few well-conditioned gradients verified: {verified}"
