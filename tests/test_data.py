@@ -1,6 +1,7 @@
 """Data pipeline: transforms, dense collation, threaded loader."""
 
 import numpy as np
+import pytest
 
 from chadavit_tpu.data import (
     AugmentationPipeline,
@@ -150,3 +151,50 @@ def test_bucketed_loader_groups_by_channels():
                             channels_last=True, bucket_by_channels=True):
         cmax = int(batch["channel_counts"].max())
         assert batch["images"].shape[1] == min(((cmax + 1) // 2) * 2, 8)
+
+
+@pytest.mark.parametrize("name", [
+    "idrcell100k", "idrcell100k_3channels", "bray", "bbbc021xbray", "bloodmnist",
+    "bbbc021", "bbbc048", "cyclops", "tissuemnist", "mtbenchreg", "transloc",
+])
+def test_dataset_zoo_manifest_roundtrip(tmp_path, name):
+    """Every manifest dataset constructs from its CSV layout and yields
+    (HWC float32, target) with the right target type."""
+    import csv as csvmod
+
+    from PIL import Image
+
+    from chadavit_tpu.data.datasets import DATASETS
+
+    cls = DATASETS[name]
+    root = tmp_path / name
+    img_dir = root / ("images" if name.startswith("idrcell100k") else ".")
+    img_dir.mkdir(parents=True, exist_ok=True)
+    rng2 = np.random.default_rng(3)
+    rows = []
+    for i in range(3):
+        paths = []
+        for c in range(2):
+            p = f"{name}_{i}_c{c}.png"
+            Image.fromarray((rng2.random((6, 6)) * 255).astype(np.uint8)).save(img_dir / p)
+            paths.append(p)
+        if cls.labeled:
+            target = "0.5" if cls.task == "regression" else "1"
+            rows.append([f"id{i}", target, str(paths)])
+        else:
+            rows.append([f"id{i}", str(paths)])
+    with open(root / "train.csv", "w", newline="") as f:
+        csvmod.writer(f).writerows(rows)
+
+    ds = cls(root_dir=str(root), train=True)
+    assert len(ds) == 3
+    assert ds.channel_count(0) == 2
+    img, target = ds[0]
+    expected_c = 2 if name != "idrcell100k_3channels" else 2  # <=3 channels kept
+    assert img.shape == (6, 6, expected_c) and img.dtype == np.float32
+    if cls.task == "regression":
+        assert isinstance(target, float) and target == 0.5
+    elif cls.labeled:
+        assert isinstance(target, int) and target == 1
+    else:
+        assert target == -1
