@@ -14,8 +14,7 @@ analytic channel mask stays valid.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

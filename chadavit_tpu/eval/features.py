@@ -16,8 +16,7 @@ reference disables regrouping there (``base.py:537``, SURVEY §2.4 #11).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

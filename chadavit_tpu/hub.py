@@ -9,7 +9,7 @@ embeddings with ``mixed_channels=True``.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ explicit-SPMD (``shard_map``/``pmap``) paths, mirroring the reference API:
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 Array = jax.Array
 

@@ -9,7 +9,6 @@ the reference's ``dist.all_reduce`` sums (``sinkhorn_knopp.py:67-80``,
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

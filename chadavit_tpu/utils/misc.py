@@ -8,7 +8,7 @@ see :func:`chadavit_tpu.train.optim.wd_mask`)."""
 from __future__ import annotations
 
 import random
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
