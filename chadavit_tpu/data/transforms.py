@@ -158,6 +158,25 @@ class Equalization:
         return out
 
 
+class RandomChannelDiscard:
+    """Randomly drop up to ``max_discard`` channels from a multichannel image
+    (reference ``RandomDiscarder``, ``channels_strategies.py:8-28`` — present
+    but unused in the reference's canonical configs; opt-in here too)."""
+
+    def __init__(self, max_discard: int = 1, p: float = 0.5):
+        self.max_discard = max_discard
+        self.p = p
+
+    def __call__(self, img: Array, rng: Rng) -> Array:
+        c = img.shape[-1]
+        if c <= 1 or rng.random() >= self.p:
+            return img
+        n_drop = int(rng.integers(1, self.max_discard + 1))
+        n_drop = min(n_drop, c - 1)
+        keep = np.sort(rng.choice(c, c - n_drop, replace=False))
+        return img[..., keep]
+
+
 class HorizontalFlip:
     def __init__(self, p=0.5):
         self.p = p

@@ -198,3 +198,16 @@ def test_dataset_zoo_manifest_roundtrip(tmp_path, name):
         assert isinstance(target, int) and target == 1
     else:
         assert target == -1
+
+
+def test_random_channel_discard():
+    from chadavit_tpu.data.transforms import RandomChannelDiscard
+
+    local = np.random.default_rng(0)
+    op = RandomChannelDiscard(max_discard=2, p=1.0)
+    img = local.random((8, 8, 5)).astype(np.float32)
+    out = op(img, local)
+    assert out.shape[-1] in (3, 4)
+    # single-channel images are never emptied
+    one = local.random((8, 8, 1)).astype(np.float32)
+    np.testing.assert_array_equal(op(one, local), one)
