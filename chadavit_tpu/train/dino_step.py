@@ -46,6 +46,11 @@ class DinoStepConfig(NamedTuple):
 
     num_large_crops: int = 2
     student_temp: float = 0.1
+    # optional lr schedule mirrored into metrics (LearningRateMonitor analogue)
+    base_lr: float = 0.0
+    warmup_steps: int = 0
+    warmup_start_lr: float = 0.0
+    min_lr: float = 0.0
     warmup_teacher_temp: float = 0.04
     teacher_temp: float = 0.07
     warmup_teacher_temp_epochs: int = 0
@@ -202,8 +207,12 @@ def make_dino_train_step(
             opt_state=opt_state,
             center=aux["new_center"],
         )
+        from chadavit_tpu.train.schedules import warmup_cosine_lr
+
         metrics = {
             "dino_loss": loss,
+            "lr": warmup_cosine_lr(opt_step, cfg.base_lr, cfg.total_steps,
+                                   cfg.warmup_steps, cfg.warmup_start_lr, cfg.min_lr),
             "tau": tau,
             "teacher_temp": teacher_temp,
             "teacher_entropy": aux["teacher_entropy"],

@@ -133,6 +133,13 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     mesh = make_mesh(n_model=int(cfg.get("model_parallel", 1) or 1))
     state, train_step, model, head = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(seed))
 
+    from chadavit_tpu.utils.misc import pretty_param_summary
+
+    print("student parameters (backbone):\n" + pretty_param_summary(
+        jax.device_get(state.student["backbone"])))
+    print("student parameters (head):\n" + pretty_param_summary(
+        jax.device_get(state.student["head"])))
+
     # checkpointing + auto-resume (reference main_pretrain.py:211-230)
     ckptr = None
     start_epoch = 0

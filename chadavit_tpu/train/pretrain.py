@@ -177,6 +177,10 @@ def build_dino(
         total_steps=spec.total_steps,
         steps_per_epoch=spec.steps_per_epoch,
         accumulate=spec.accumulate_grad_batches,
+        base_lr=spec.lr,
+        warmup_steps=int(spec.warmup_epochs * spec.steps_per_epoch),
+        warmup_start_lr=spec.warmup_start_lr,
+        min_lr=spec.min_lr,
     )
 
     if is_chada:
