@@ -219,7 +219,7 @@ def _fwd_impl(q, k, v, valid_len, num_heads, block, interpret):
             jax.ShapeDtypeStruct((b, num_heads, s_pad, LANES), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(valid_len.astype(jnp.int32), qh, kh, vh)
@@ -283,7 +283,7 @@ def _vjp_bwd(num_heads, block, interpret, res, g):
         ),
         out_shape=jax.ShapeDtypeStruct((b, num_heads, s_pad, hd_pad), qh.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(vl, qh, kh, vh, do, lse, delta)
@@ -304,7 +304,7 @@ def _vjp_bwd(num_heads, block, interpret, res, g):
             jax.ShapeDtypeStruct((b, num_heads, s_pad, hd_pad), vh.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(vl, qh, kh, vh, do, lse, delta)
