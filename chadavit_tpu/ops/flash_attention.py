@@ -118,8 +118,13 @@ def _dq_kernel(vl_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(vl_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _dkv_kernel(vl_ref, q_ref, k_ref, v_ref, do_ref, lse_t_ref, delta_t_ref,
                 dk_ref, dv_ref, *, scale: float, block_q: int):
+    """dK/dV in fully TRANSPOSED form: every matmul contracts over the lane
+    (last) dim of its lhs or the sublane (first) dim of its rhs — MXU-native —
+    whereas the straightforward formulation needs ``p^T @ do`` / ``ds^T @ q``
+    (dim-0/dim-0 contractions) that cost an extra relayout per tile. lse/delta
+    arrive lane-major ``(LANES, S_pad)`` for the same reason."""
     b = pl.program_id(0)
     kj = pl.program_id(2)
     vl = vl_ref[b]
@@ -127,25 +132,25 @@ def _dkv_kernel(vl_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k_blk = k_ref[0, 0]  # (BK, hd)
     v_blk = v_ref[0, 0]
     bk, hd = k_blk.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + kj * bk  # global key idx
+    row = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) + kj * bk  # key idx
     num_q_blocks = pl.cdiv(vl, block_q)  # only valid-prefix queries carry cotangent
 
     def body(i, carry):
         dk, dv = carry
         q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
         do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(col < vl, s, _NEG_LARGE)
-        p = jnp.exp(s - lse)  # (BQ, BK)
-        dv = dv + jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        lse_r = lse_t_ref[0, 0, 0:1, pl.ds(i * block_q, block_q)]      # (1, BQ)
+        delta_r = delta_t_ref[0, 0, 0:1, pl.ds(i * block_q, block_q)]  # (1, BQ)
+        s_t = jax.lax.dot_general(k_blk, q, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32) * scale  # (BK, BQ)
+        s_t = jnp.where(row < vl, s_t, _NEG_LARGE)
+        p_t = jnp.exp(s_t - lse_r)
+        dv = dv + jax.lax.dot_general(p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        dp_t = jax.lax.dot_general(v_blk, do, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # (BK, BQ)
+        ds_t = (p_t * (dp_t - delta_r) * scale).astype(q.dtype)
+        dk = dk + jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -191,6 +196,12 @@ def _row_spec(block: int):
 
 def _row_full_spec(s_pad: int):
     return pl.BlockSpec((1, 1, s_pad, LANES), lambda bi, hi, ti, vl: (bi, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _lane_full_spec(s_pad: int):
+    """Lane-major row tensor (B, H, LANES, S_pad), full block."""
+    return pl.BlockSpec((1, 1, LANES, s_pad), lambda bi, hi, ti, vl: (bi, hi, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -288,6 +299,14 @@ def _vjp_bwd(num_heads, block, interpret, res, g):
         interpret=interpret,
     )(vl, qh, kh, vh, do, lse, delta)
 
+    # lane-major copies of lse/delta for the transposed dkv kernel
+    def lane_major(x):  # (B,H,S_pad,LANES) -> (B,H,LANES,S_pad)
+        return jnp.broadcast_to(x[..., 0][:, :, None, :],
+                                (x.shape[0], x.shape[1], LANES, x.shape[2]))
+
+    lse_t = lane_major(lse)
+    delta_t = lane_major(delta)
+
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, block_q=block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -295,7 +314,7 @@ def _vjp_bwd(num_heads, block, interpret, res, g):
             grid=grid,
             in_specs=[
                 _full_spec(s_pad, hd_pad), _qspec(block, hd_pad), _qspec(block, hd_pad),
-                _full_spec(s_pad, hd_pad), _row_full_spec(s_pad), _row_full_spec(s_pad),
+                _full_spec(s_pad, hd_pad), _lane_full_spec(s_pad), _lane_full_spec(s_pad),
             ],
             out_specs=(_qspec(block, hd_pad), _qspec(block, hd_pad)),
         ),
@@ -307,7 +326,7 @@ def _vjp_bwd(num_heads, block, interpret, res, g):
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
-    )(vl, qh, kh, vh, do, lse, delta)
+    )(vl, qh, kh, vh, do, lse_t, delta_t)
 
     def unprep(xh):
         return xh[:, :, :s, :hd].transpose(0, 2, 1, 3).reshape(b, s, d)
