@@ -209,7 +209,10 @@ def _fwd_impl(q, k, v, valid_len, num_heads, block, interpret):
     b, s, d = q.shape
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
-    hd_pad = max(128, ((hd + 127) // 128) * 128)
+    # keep the native head dim when it is sublane-aligned (Mosaic's block rule
+    # allows last-dim == array-dim); saves the 96->128 zero-pad traffic of the
+    # canonical 192/2 config. Otherwise pad up to a lane multiple.
+    hd_pad = hd if hd % 8 == 0 else max(128, ((hd + 127) // 128) * 128)
     s_pad = ((s + block - 1) // block) * block
 
     qh = _prep(q, num_heads, s_pad, hd_pad)
