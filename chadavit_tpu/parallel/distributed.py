@@ -12,16 +12,76 @@ automatically.
 from __future__ import annotations
 
 import os
-from typing import Optional
+import re
+import shutil
+import subprocess
+from typing import List, Optional
+
+
+def expand_slurm_nodelist(nodelist: str) -> List[str]:
+    """Expand a SLURM compressed nodelist into hostnames.
+
+    Handles bracket ranges with zero-padding, comma lists inside brackets,
+    hyphenated hostname prefixes, and multiple bracket groups:
+    ``gpu-node[01-03,07],login1`` -> ``[gpu-node01, gpu-node02, gpu-node03,
+    gpu-node07, login1]``. Prefers ``scontrol show hostnames`` when available
+    (the authoritative expander on a real cluster)."""
+    nodelist = nodelist.strip()
+    if not nodelist:
+        return []
+    if shutil.which("scontrol"):
+        try:
+            out = subprocess.run(
+                ["scontrol", "show", "hostnames", nodelist],
+                capture_output=True, text=True, timeout=10, check=True,
+            ).stdout.split()
+            if out:
+                return out
+        except Exception:
+            pass  # fall through to the pure-python parser
+
+    # split on commas that are outside brackets
+    parts: List[str] = []
+    depth, cur = 0, ""
+    for ch in nodelist:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur:
+        parts.append(cur)
+
+    hosts: List[str] = []
+    for part in parts:
+        m = re.match(r"^(.*?)\[([^\]]+)\](.*)$", part)
+        if not m:
+            hosts.append(part)
+            continue
+        prefix, body, suffix = m.groups()
+        for seg in body.split(","):
+            if "-" in seg:
+                lo, hi = seg.split("-", 1)
+                for i in range(int(lo), int(hi) + 1):
+                    hosts.append(f"{prefix}{str(i).zfill(len(lo))}{suffix}")
+            else:
+                hosts.append(f"{prefix}{seg}{suffix}")
+    return hosts
 
 
 def slurm_env() -> Optional[dict]:
     """Extract coordinator/rank info from SLURM variables (the reference's
-    SLURMEnvironment role)."""
+    SLURMEnvironment role). The coordinator is the first expanded hostname of
+    ``SLURM_JOB_NODELIST``."""
     if "SLURM_JOB_ID" not in os.environ:
         return None
     nodelist = os.environ.get("SLURM_JOB_NODELIST", "")
-    first = nodelist.split(",")[0].replace("[", "").split("-")[0] if nodelist else "localhost"
+    hosts = expand_slurm_nodelist(nodelist)
+    first = hosts[0] if hosts else "localhost"
     return {
         "coordinator_address": f"{first}:{os.environ.get('CHADAVIT_COORD_PORT', '12345')}",
         "num_processes": int(os.environ.get("SLURM_NTASKS", 1)),

@@ -111,6 +111,17 @@ def dino_batch_shardings(mesh: Mesh) -> dict:
     }
 
 
+def opt_state_shardings(opt_state: Any, mesh: Mesh, rules=TP_RULES) -> Any:
+    """Shardings for an optax state pytree under TP.
+
+    Optimizer buffers that mirror params (LARS/SGD momentum, Adam mu/nu,
+    MultiSteps grad accumulators) live at tree paths that END with the param's
+    own path (e.g. ``.../momentum/backbone/blocks_0/linear1/kernel``), so the
+    same regex TP rules apply leaf-by-leaf; scalar counters match no rule and
+    stay replicated. This is what makes TP actually save optimizer memory."""
+    return param_shardings(opt_state, mesh, rules)
+
+
 def shard_dino_state(state, mesh: Mesh):
     """Shardings pytree for a DinoState: params per TP rules, scalars/center
     replicated, optimizer state mirroring the param shardings."""
@@ -119,16 +130,10 @@ def shard_dino_state(state, mesh: Mesh):
     assert isinstance(state, DinoState)
     rep = replicated(mesh)
     student_sh = param_shardings(state.student, mesh)
-
-    def opt_sharding(leaf_path, leaf):
-        # optimizer state leaves that mirror a param shape get the param's sharding
-        return rep
-
-    opt_sh = jax.tree.map(lambda _: rep, state.opt_state)
     return DinoState(
         step=rep,
         student=student_sh,
         teacher=student_sh,
-        opt_state=opt_sh,
+        opt_state=opt_state_shardings(state.opt_state, mesh),
         center=rep,
     )

@@ -203,6 +203,19 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
             accumulate=spec.accumulate_grad_batches,
         )
         ssl_val = jax.jit(make_dino_eval_loss(backbone_apply, head_apply, eval_cfg))
+        # two INDEPENDENT augmented views per val image (duplicating the same
+        # tensor would make the cross-view loss degenerate): reuse the train
+        # augmentation recipe's large-crop pipelines on device
+        from chadavit_tpu.data.device_augment import make_multicrop_fn as _mk_mc
+
+        _val_augs = [dict(a) for a in cfg.get("augmentations", [])]
+        if not _val_augs:
+            crop_sz = 224
+            _val_augs = [{"crop_size": crop_sz, "num_crops": 2,
+                          "rrc": {"enabled": True, "crop_min_scale": 0.3,
+                                  "crop_max_scale": 1.0},
+                          "horizontal_flip": {"prob": 0.5}}]
+        ssl_val_aug = _mk_mc(_val_augs)
 
     def validate(epoch: int):
         if val_loader is None:
@@ -227,10 +240,14 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         out = {"val_knn_top1": top1, "val_knn_top5": top5}
         if ssl_val is not None:
             losses = []
+            vrng = jax.random.PRNGKey(10_000 + epoch)
             for vb in val_loader:
+                vrng, sub = jax.random.split(vrng)
                 imgs = jnp.asarray(vb["images"], spec.dtype)
-                vbatch = {"crops": jnp.stack([imgs, imgs], 0),
-                          "channel_counts": jnp.asarray(vb["channel_counts"])}
+                counts = jnp.asarray(vb["channel_counts"])
+                views = ssl_val_aug(sub, imgs, counts)
+                vbatch = {"crops": views["crops"][:2].astype(spec.dtype),
+                          "channel_counts": counts}
                 losses.append(float(ssl_val(state, vbatch)))
             out["dino_loss_val"] = float(np.mean(losses))
         logger.log(out, step=int(jax.device_get(state.step)))
@@ -254,7 +271,7 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     for epoch in range(start_epoch, cfg.max_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
-    # one whole-batch host cast halves transfer volume for bf16 runs
+            # one whole-batch host cast halves transfer volume for bf16 runs
             if device_aug is not None:
                 aug_rng, sub = jax.random.split(aug_rng)
                 out = device_aug(sub, jnp.asarray(_host_cast(batch["images"])),

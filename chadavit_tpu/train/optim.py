@@ -1,9 +1,10 @@
 """Optimizers as optax transformations, with the reference's param-group rules.
 
 - LARS with trust coefficient, lr clipping, and auto-exclusion of 1-D params
-  from scaling/weight-decay (reference ``src/utils/lars.py:112-167``; the
-  reference passes only {clip_lr, eta, exclude_bias_n_norm} from YAML, so the
-  SGD momentum part defaults to **0**).
+  from scaling/weight-decay (reference ``src/utils/lars.py:112-167``). The
+  reference's config parser defaults ``optimizer.kwargs.momentum`` to **0.9**
+  for LARS (``src/args/pretrain.py:219-222``), so the canonical pretrain runs
+  momentum-SGD on the LARS direction; pass ``momentum=0`` to disable.
 - Param groups: the classifier gets its own lr and weight_decay=0
   (reference ``base.py:406-414``); bias/norm (1-D) params may be excluded from
   weight decay (reference ``base.py:425-427``, ``misc.py:425-454``).
@@ -114,12 +115,47 @@ def build_group_tx(
         return optax.chain(*parts)
     if name in ("adam", "adamw"):
         betas = tuple(kw.get("betas", (0.9, 0.999)))
-        parts = [optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=kw.get("eps", 1e-8))]
+        parts = []
+        if name == "adam" and weight_decay:
+            # torch.optim.Adam applies L2-style weight decay: wd*p is added to
+            # the gradient BEFORE the Adam moments (unlike AdamW's decoupled
+            # decay after them) — reference ``base.py:67-72`` registers plain
+            # torch Adam, so configs with optimizer.name: adam must match.
+            parts.append(optax.add_decayed_weights(weight_decay, mask=wd_m))
+        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=kw.get("eps", 1e-8)))
         if name == "adamw" and weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay, mask=wd_m))
         parts.append(neg_lr)
         return optax.chain(*parts)
     raise ValueError(f"unknown optimizer {name!r}; expected sgd/lars/adam/adamw")
+
+
+def scale_updates_by_path(key_scales: Dict[str, float],
+                          default: float = 1.0) -> optax.GradientTransformation:
+    """Multiply each update leaf by the scale of the first path segment found in
+    ``key_scales`` — the optax expression of per-param-group ``lr_scale``
+    (reference layer-wise lr decay, ``misc.py:364-422``: scaling the group's lr
+    scales its whole update, weight-decay term included, exactly as torch param
+    groups do). Path-based so it works inside ``optax.multi_transform``'s
+    masked trees, where a parallel scale pytree would mismatch."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def one(path, u):
+            for k in path:
+                name = getattr(k, "key", None)
+                if name in key_scales:
+                    return u * key_scales[name]
+            return u * default
+
+        return jax.tree_util.tree_map_with_path(one, updates), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def grouped_optimizer(

@@ -61,8 +61,10 @@ class DinoPretrainSpec:
     optimizer: str = "lars"
     lr: float = 0.3
     weight_decay: float = 1e-6
+    # momentum=0.9 is the reference parse_cfg default for LARS
+    # (src/args/pretrain.py:219-222); the canonical benched optimizer carries it
     optimizer_kwargs: Dict[str, Any] = field(default_factory=lambda: dict(
-        clip_lr=True, eta=0.02, exclude_bias_n_norm=True,
+        clip_lr=True, eta=0.02, exclude_bias_n_norm=True, momentum=0.9,
     ))
     exclude_bias_n_norm_wd: bool = False
     warmup_epochs: float = 10
@@ -202,7 +204,9 @@ def build_dino(
     # ---- sharding: params per TP rules, batch over the data axis ----
     rep = replicated(mesh)
     student_sh = param_shardings(student, mesh)
-    opt_sh = jax.tree.map(lambda _: rep, opt_state)
+    from chadavit_tpu.parallel.mesh import opt_state_shardings
+
+    opt_sh = opt_state_shardings(opt_state, mesh)
     state_sh = DinoState(step=rep, student=student_sh, teacher=student_sh,
                          opt_state=opt_sh, center=rep)
     batch_sh = dino_batch_shardings(mesh)

@@ -150,3 +150,43 @@ def test_dino_rgb_backbone():
     batch["channel_counts"] = jnp.full((4,), 3, jnp.int32)
     state, m = step(state, batch)
     assert np.isfinite(float(m["dino_loss"]))
+
+
+def _per_device_bytes(tree) -> int:
+    """Bytes held by ONE device for every array in the pytree (shard-local)."""
+    import math
+
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        if not hasattr(leaf, "sharding"):
+            continue
+        shard_shape = leaf.sharding.shard_shape(leaf.shape)
+        total += math.prod(shard_shape) * leaf.dtype.itemsize
+    return total
+
+
+def test_tp_shards_params_and_optimizer_state():
+    """TP must shrink per-device PARAM and OPTIMIZER bytes, not just activations
+    (a replicated opt_state would make TP useless for memory). Uses a ViT-Base
+    shaped backbone so the sharded matmuls dominate."""
+    base = dict(TINY)
+    base["backbone_kwargs"] = dict(embed_dim=768, patch_size=16, return_all_tokens=False,
+                                   max_number_channels=2, depth=2, num_heads=12)
+    base["max_channels"] = 2
+    base["img_size"] = 32
+    spec = DinoPretrainSpec(**base)
+
+    mesh_dp = make_mesh(n_model=1)
+    mesh_tp = make_mesh(n_model=2)
+    state_dp, _, _, _ = build_dino(spec, mesh=mesh_dp, rng=jax.random.PRNGKey(0))
+    state_tp, _, _, _ = build_dino(spec, mesh=mesh_tp, rng=jax.random.PRNGKey(0))
+
+    p_dp = _per_device_bytes(state_dp.student)
+    p_tp = _per_device_bytes(state_tp.student)
+    o_dp = _per_device_bytes(state_dp.opt_state)
+    o_tp = _per_device_bytes(state_tp.opt_state)
+
+    # the sharded FFN/QKV/head matmuls dominate a ViT-Base layer; expect a
+    # substantial (not necessarily exactly 2x) per-device reduction
+    assert p_tp < 0.75 * p_dp, (p_tp, p_dp)
+    assert o_tp < 0.75 * o_dp, (o_tp, o_dp)

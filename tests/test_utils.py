@@ -125,3 +125,38 @@ def test_collectives_gather(rng):
     # result equals a tile of the input
     assert out.shape == (32, 3)
     np.testing.assert_allclose(np.asarray(out[:8]), x, rtol=1e-6)
+
+
+def test_expand_slurm_nodelist():
+    from chadavit_tpu.parallel.distributed import expand_slurm_nodelist
+
+    assert expand_slurm_nodelist("node[01-04]") == [
+        "node01", "node02", "node03", "node04"]
+    assert expand_slurm_nodelist("gpu-node[1-3]") == [
+        "gpu-node1", "gpu-node2", "gpu-node3"]
+    assert expand_slurm_nodelist("n[01-02,07],login1") == [
+        "n01", "n02", "n07", "login1"]
+    assert expand_slurm_nodelist("a[1-2]b") == ["a1b", "a2b"]
+    assert expand_slurm_nodelist("single-host") == ["single-host"]
+    assert expand_slurm_nodelist("") == []
+
+
+def test_adam_applies_l2_weight_decay():
+    """optimizer.name: adam must decay weights like torch.optim.Adam (L2 into
+    the gradient before the moments), not silently drop weight_decay."""
+    from chadavit_tpu.train.optim import build_group_tx
+
+    wd = 0.1
+    params = {"w": jnp.ones((4, 4)) * 2.0}
+    grads = {"w": jnp.zeros((4, 4))}
+
+    tx = build_group_tx("adam", lambda c: 0.01, wd, {})
+    st = tx.init(params)
+    updates, _ = tx.update(grads, st, params)
+    # zero grad + nonzero wd: L2 decay means the update direction is nonzero
+    assert float(jnp.abs(updates["w"]).max()) > 0.0
+
+    tx0 = build_group_tx("adam", lambda c: 0.01, 0.0, {})
+    st0 = tx0.init(params)
+    updates0, _ = tx0.update(grads, st0, params)
+    assert float(jnp.abs(updates0["w"]).max()) == 0.0
