@@ -15,23 +15,98 @@ from chadavit_tpu.data.datasets import DATASETS, prepare_datasets
 from chadavit_tpu.data.pipeline import HostLoader
 from chadavit_tpu.data.transforms import AugmentationPipeline
 
-# datasets whose channels are raw microscopy planes -> per-channel jitter
-_MICROSCOPY = {"idrcell100k", "idrcell100k_3channels", "bray", "bbbc021",
-               "bbbc048", "cyclops", "transloc", "mtbenchreg", "bbbc021xbray"}
+# per-dataset normalization constants (reference classification_dataloader.py:63-115)
+_CIFAR_NORM = ((0.4914, 0.4822, 0.4465), (0.247, 0.243, 0.261))
+_STL_NORM = ((0.4914, 0.4823, 0.4466), (0.247, 0.243, 0.261))
+_IMAGENET_NORM = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+
+# Table-driven eval protocol, one row per reference pipeline
+# (classification_dataloader.py:63-304). Fields:
+#   scale       - train RandomResizedCrop scale range
+#   interp      - train RRC interpolation ("cubic" for the albumentations
+#                 microscopy pipelines, "bilinear" for the torchvision ones)
+#   val         - validation geometry:
+#                   "none"         no resize (cifar; images already crop-sized)
+#                   "square"       square resize to crop_size (stl)
+#                   "square_crop"  A.Resize(8/7*crop square) -> CenterCrop(crop)
+#                   "shorter_crop" Resize(8/7*crop shorter side) -> CenterCrop(crop)
+#   norm        - (mean, std) or None (microscopy sets ship un-normalized)
+#   train_is_val- train pipeline IS the val pipeline (bbbc021xbray)
+EVAL_PROTOCOLS = {
+    "cifar10": dict(scale=(0.08, 1.0), interp="bilinear", val="none", norm=_CIFAR_NORM),
+    "cifar100": dict(scale=(0.08, 1.0), interp="bilinear", val="none", norm=_CIFAR_NORM),
+    "stl10": dict(scale=(0.08, 1.0), interp="bilinear", val="square", norm=_STL_NORM),
+    "imagenet": dict(scale=(0.08, 1.0), interp="bilinear", val="shorter_crop", norm=_IMAGENET_NORM),
+    "imagenet100": dict(scale=(0.08, 1.0), interp="bilinear", val="shorter_crop", norm=_IMAGENET_NORM),
+    "idrcell100k": dict(scale=(0.08, 1.0), interp="cubic", val="square_crop", norm=None),
+    "idrcell100k_3channels": dict(scale=(0.08, 1.0), interp="cubic", val="square_crop", norm=None),
+    "bray": dict(scale=(0.08, 1.0), interp="cubic", val="square_crop", norm=None),
+    "bbbc021": dict(scale=(0.2, 1.0), interp="cubic", val="square_crop", norm=None),
+    "bbbc021xbray": dict(scale=None, interp="bilinear", val="square_crop", norm=None,
+                         train_is_val=True),
+    "bloodmnist": dict(scale=(0.9, 1.0), interp="bilinear", val="shorter_crop", norm=None),
+    "tissuemnist": dict(scale=(0.9, 1.0), interp="bilinear", val="shorter_crop", norm=None),
+    "cyclops": dict(scale=(0.9, 1.0), interp="bilinear", val="shorter_crop", norm=None),
+    "transloc": dict(scale=(0.9, 1.0), interp="bilinear", val="shorter_crop", norm=None),
+    "bbbc048": dict(scale=(0.2, 1.0), interp="bilinear", val="shorter_crop", norm=None),
+    "mtbenchreg": dict(scale=(0.2, 1.0), interp="bilinear", val="shorter_crop", norm=None),
+}
+
+_DEFAULT_PROTOCOL = dict(scale=(0.08, 1.0), interp="cubic", val="square_crop", norm=None)
 
 
-def prepare_transforms(dataset: str, crop_size: int = 224,
-                       augment_train: bool = True) -> Tuple[AugmentationPipeline, AugmentationPipeline]:
-    """(train_transform, val_transform) per dataset (reference
-    ``classification_dataloader.py:53-304``)."""
-    train_cfg = {
-        "crop_size": crop_size,
-        "rrc": {"enabled": augment_train, "crop_min_scale": 0.08, "crop_max_scale": 1.0},
-        "horizontal_flip": {"prob": 0.5 if augment_train else 0.0},
-    }
-    if augment_train and dataset in _MICROSCOPY:
-        train_cfg["color_jitter"] = {"prob": 0.8}
-    val_cfg = {"crop_size": crop_size, "rrc": {"enabled": False}}
+def _val_cfg(proto: dict, crop_size: int) -> dict:
+    cfg = {"crop_size": crop_size}
+    kind = proto["val"]
+    if kind == "none":
+        cfg["resize"] = {"enabled": False}
+    elif kind == "square":
+        cfg["resize"] = {"size": crop_size, "shorter_side": False}
+    else:
+        # the canonical 256->224 ratio, scaled for non-224 crops (smoke tests)
+        resize = int(round(crop_size * 256 / 224))
+        cfg["resize"] = {"size": resize, "shorter_side": kind == "shorter_crop"}
+        cfg["center_crop"] = {"size": crop_size}
+    if proto["norm"]:
+        cfg["normalize"] = {"mean": list(proto["norm"][0]), "std": list(proto["norm"][1])}
+    return cfg
+
+
+def prepare_transforms(dataset: str, crop_size: int = 224, augment_train: bool = True,
+                       auto_augment: bool = False,
+                       ) -> Tuple[AugmentationPipeline, AugmentationPipeline]:
+    """(train_transform, val_transform) per dataset, matching the reference's
+    hardcoded pipelines (``classification_dataloader.py:53-316``) row by row.
+
+    ``auto_augment`` swaps the train pipeline for a timm-style
+    RandAugment recipe (reference ``classification_dataloader.py:544-556``)."""
+    proto = EVAL_PROTOCOLS.get(dataset, _DEFAULT_PROTOCOL)
+    val_cfg = _val_cfg(proto, crop_size)
+
+    if auto_augment and augment_train:
+        train_cfg = {
+            "crop_size": crop_size,
+            "rrc": {"enabled": True, "crop_min_scale": 0.08, "crop_max_scale": 1.0,
+                    "interpolation": "cubic"},
+            "horizontal_flip": {"prob": 0.5},
+            "rand_augment": {"enabled": True, "magnitude": 9, "magnitude_std": 0.5,
+                             "num_ops": 2},
+            "random_erase": {"prob": 0.25},
+            "normalize": {"mean": list(_IMAGENET_NORM[0]), "std": list(_IMAGENET_NORM[1])},
+        }
+    elif not augment_train or proto.get("train_is_val"):
+        train_cfg = val_cfg
+    else:
+        train_cfg = {
+            "crop_size": crop_size,
+            "rrc": {"enabled": True, "crop_min_scale": proto["scale"][0],
+                    "crop_max_scale": proto["scale"][1],
+                    "interpolation": proto["interp"]},
+            "horizontal_flip": {"prob": 0.5},
+        }
+        if proto["norm"]:
+            train_cfg["normalize"] = {"mean": list(proto["norm"][0]),
+                                      "std": list(proto["norm"][1])}
     return AugmentationPipeline(train_cfg), AugmentationPipeline(val_cfg)
 
 
@@ -45,6 +120,7 @@ def prepare_data(
     crop_size: int = 224,
     sample_ratio: float = 1.0,
     augment_train: bool = True,
+    auto_augment: bool = False,
     val_transform_for_train: bool = False,
     seed: int = 0,
     native_loader: bool = False,
@@ -78,7 +154,8 @@ def prepare_data(
                                              height=crop_size, width=crop_size)
             return tl, vl
 
-    t_train, t_val = prepare_transforms(dataset, crop_size, augment_train)
+    t_train, t_val = prepare_transforms(dataset, crop_size, augment_train,
+                                        auto_augment=auto_augment)
     if val_transform_for_train:
         t_train = t_val
 

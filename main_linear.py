@@ -8,6 +8,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import linen as nn
 
 from chadavit_tpu.cli import load_backbone_for_eval, load_cfg
@@ -45,10 +46,22 @@ def build_probe(cfg, model, params, steps_per_epoch, task="classification"):
     mk_sched = lambda lr: functools.partial(  # noqa: E731
         warmup_cosine_lr, base_lr=lr, total_steps=total_steps, warmup_steps=warmup_steps,
         warmup_start_lr=cfg.scheduler.warmup_start_lr, min_lr=cfg.scheduler.min_lr)
+    backbone_tx = build_group_tx(cfg.optimizer.name, mk_sched(cfg.optimizer.lr),
+                                 cfg.optimizer.weight_decay, dict(cfg.optimizer.get("kwargs", {})),
+                                 cfg.optimizer.get("exclude_bias_n_norm_wd", False))
+    layer_decay = float(cfg.get("layer_decay", 0.0) or 0.0)
+    if layer_decay > 0:
+        # layer-wise lr decay (reference linear.py:290-303 / misc.py:364-422):
+        # block i gets decay^(depth-i), embeddings decay^(depth+1), final norm 1
+        assert cfg.get("finetune", False), "layer_decay requires finetune: True"
+        from chadavit_tpu.eval.probe import layer_decay_scales
+        from chadavit_tpu.train.optim import scale_updates_by_path
+
+        depth = bk.get("depth", 12)
+        key_scales = layer_decay_scales(params, layer_decay, depth)
+        backbone_tx = optax.chain(backbone_tx, scale_updates_by_path(key_scales))
     groups = {
-        "backbone": build_group_tx(cfg.optimizer.name, mk_sched(cfg.optimizer.lr),
-                                   cfg.optimizer.weight_decay, dict(cfg.optimizer.get("kwargs", {})),
-                                   cfg.optimizer.get("exclude_bias_n_norm_wd", False)),
+        "backbone": backbone_tx,
         # classifier group: own lr, weight decay 0 (reference base.py:406-414)
         "classifier": build_group_tx(cfg.optimizer.name,
                                      mk_sched(cfg.optimizer.get("classifier_lr", cfg.optimizer.lr)),
@@ -88,6 +101,7 @@ def run_probe(cfg, task="classification"):
         num_workers=cfg.data.get("num_workers", 4),
         crop_size=cfg.data.get("augmentations", {}).get("crop_size", 224),
         sample_ratio=cfg.data.get("sample_ratio", 1.0),
+        auto_augment=bool(cfg.get("auto_augment", False)),
     )
     steps_per_epoch = max(len(train_loader), 1)
     state, train_step, eval_step = build_probe(cfg, model, params, steps_per_epoch, task)

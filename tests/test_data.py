@@ -211,3 +211,119 @@ def test_random_channel_discard():
     # single-channel images are never emptied
     one = local.random((8, 8, 1)).astype(np.float32)
     np.testing.assert_array_equal(op(one, local), one)
+
+
+# ---------------------------------------------------------------------------
+# eval-protocol fidelity vs the reference's hardcoded per-dataset pipelines
+# (/root/reference/src/data/classification_dataloader.py:63-304)
+# ---------------------------------------------------------------------------
+
+def test_eval_protocol_table_matches_reference():
+    from chadavit_tpu.data.classification import EVAL_PROTOCOLS
+
+    # train RRC scale ranges, straight from the reference file
+    assert EVAL_PROTOCOLS["idrcell100k"]["scale"] == (0.08, 1.0)
+    assert EVAL_PROTOCOLS["bray"]["scale"] == (0.08, 1.0)
+    assert EVAL_PROTOCOLS["bbbc021"]["scale"] == (0.2, 1.0)
+    assert EVAL_PROTOCOLS["bbbc048"]["scale"] == (0.2, 1.0)
+    assert EVAL_PROTOCOLS["mtbenchreg"]["scale"] == (0.2, 1.0)
+    for d in ("bloodmnist", "tissuemnist", "cyclops", "transloc"):
+        assert EVAL_PROTOCOLS[d]["scale"] == (0.9, 1.0), d
+    # albumentations pipelines pin INTER_CUBIC; torchvision ones are bilinear
+    for d in ("idrcell100k", "idrcell100k_3channels", "bray", "bbbc021"):
+        assert EVAL_PROTOCOLS[d]["interp"] == "cubic", d
+    for d in ("bbbc048", "cyclops", "bloodmnist"):
+        assert EVAL_PROTOCOLS[d]["interp"] == "bilinear", d
+    # val geometry: albumentations sets use SQUARE Resize(256,256); torchvision
+    # sets resize the shorter side; both center-crop 224
+    for d in ("idrcell100k", "bray", "bbbc021", "bbbc021xbray"):
+        assert EVAL_PROTOCOLS[d]["val"] == "square_crop", d
+    for d in ("bbbc048", "cyclops", "transloc", "bloodmnist", "tissuemnist",
+              "mtbenchreg", "imagenet"):
+        assert EVAL_PROTOCOLS[d]["val"] == "shorter_crop", d
+    # bbbc021xbray trains with the val pipeline
+    assert EVAL_PROTOCOLS["bbbc021xbray"]["train_is_val"] is True
+    # cifar val has no resize; normalization constants per reference
+    assert EVAL_PROTOCOLS["cifar10"]["val"] == "none"
+    assert EVAL_PROTOCOLS["cifar10"]["norm"][0] == (0.4914, 0.4822, 0.4465)
+    assert EVAL_PROTOCOLS["imagenet"]["norm"][0] == (0.485, 0.456, 0.406)
+    # microscopy sets ship UN-normalized (ToTensorV2 only)
+    assert EVAL_PROTOCOLS["bbbc048"]["norm"] is None
+
+
+def test_val_transform_center_crops():
+    """Resize(256 shorter) -> CenterCrop(224): the output must be the center
+    224x224 of the resized image, not a squashed full-image resize."""
+    from chadavit_tpu.data.classification import prepare_transforms
+
+    _, t_val = prepare_transforms("bbbc048", crop_size=224)
+    # non-square input: 300x600, center marked
+    img = np.zeros((300, 600, 2), np.float32)
+    img[140:160, 290:310] = 1.0  # center blob
+    out = t_val(img)
+    assert out.shape == (2, 224, 224)
+    # shorter side 300 -> 256 scale; the blob lands near the output center
+    c = out[0]
+    yc, xc = np.unravel_index(np.argmax(c), c.shape)
+    assert abs(yc - 112) < 20 and abs(xc - 112) < 20, (yc, xc)
+    # a squashed square resize would shrink x twice as much as y; center crop
+    # keeps the blob's aspect ratio ~1
+    blob = c > 0.5
+    ys, xs = np.where(blob)
+    if len(ys) > 4:
+        h_span, w_span = np.ptp(ys) + 1, np.ptp(xs) + 1
+        assert 0.5 < h_span / w_span < 2.0
+
+
+def test_val_transform_square_resize_for_albumentations_sets():
+    """idrcell100k val = A.Resize(256,256) SQUARE then CenterCrop(224): a
+    non-square input is squashed square before cropping."""
+    from chadavit_tpu.data.classification import prepare_transforms
+
+    _, t_val = prepare_transforms("idrcell100k", crop_size=224)
+    img = np.zeros((300, 600, 1), np.float32)
+    img[:, 290:310] = 1.0  # vertical stripe through center
+    out = t_val(img)[0]
+    assert out.shape == (224, 224)
+    # stripe width 20px of 600 -> squashed to ~8.5px of 256 (square resize);
+    # shorter-side resize would give ~17px
+    stripe_cols = (out.max(axis=0) > 0.5).sum()
+    assert stripe_cols <= 13, stripe_cols
+
+
+def test_cifar_normalization_applied():
+    from chadavit_tpu.data.classification import prepare_transforms
+
+    _, t_val = prepare_transforms("cifar10", crop_size=32)
+    img = np.full((32, 32, 3), 0.5, np.float32)
+    out = t_val(img)
+    expect = (0.5 - np.array([0.4914, 0.4822, 0.4465])) / np.array([0.247, 0.243, 0.261])
+    np.testing.assert_allclose(out[:, 0, 0], expect, atol=1e-5)
+    assert out.shape == (3, 32, 32)  # no resize on cifar val
+
+
+def test_rand_augment_multichannel():
+    from chadavit_tpu.data.transforms import RandAugment, RandomErasing
+
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 64, 5), dtype=np.float32)
+    ra = RandAugment(num_ops=2, magnitude=9, op_prob=1.0)
+    for _ in range(20):  # exercise many op draws
+        out = ra(img, rng)
+        assert out.shape == img.shape and out.dtype == np.float32
+        assert np.isfinite(out).all()
+    re_op = RandomErasing(p=1.0)
+    out = re_op(img, rng)
+    assert out.shape == img.shape
+    assert not np.allclose(out, img)
+
+
+def test_auto_augment_train_pipeline():
+    from chadavit_tpu.data.classification import prepare_transforms
+
+    t_train, _ = prepare_transforms("bbbc048", crop_size=64, auto_augment=True)
+    rng = np.random.default_rng(0)
+    img = rng.random((100, 120, 3), dtype=np.float32)
+    out = t_train(img, rng)
+    assert out.shape == (3, 64, 64)
+    assert np.isfinite(out).all()

@@ -203,3 +203,82 @@ def test_one_channel_strategy_features(rng):
     # per-plane consistency: plane 1 of image 0 embeds like a 1-channel forward
     single = np.asarray(model.apply({"params": params}, jnp.asarray(imgs[0:1, 1:2])))
     np.testing.assert_allclose(feats[0, 32:64], single[0], rtol=1e-5, atol=1e-5)
+
+
+def test_layer_decay_scales_updates():
+    """Layer-wise lr decay (reference linear.py:290-303): with plain SGD the
+    update ratio between block 0 and the final norm equals decay^depth, and
+    embeddings get decay^(depth+1)."""
+    import optax
+
+    from chadavit_tpu.eval.probe import layer_decay_scales
+    from chadavit_tpu.train.optim import build_group_tx, scale_updates_by_path
+
+    decay, depth = 0.75, 4
+    params = {
+        "patch_embed": {"kernel": jnp.ones((4, 4))},
+        "blocks_0": {"w": jnp.ones((4, 4))},
+        "blocks_3": {"w": jnp.ones((4, 4))},
+        "norm": {"scale": jnp.ones((4,))},
+    }
+    key_scales = layer_decay_scales(params, decay, depth)
+    assert key_scales["blocks_0"] == pytest.approx(decay ** depth)
+    assert key_scales["blocks_3"] == pytest.approx(decay ** (depth - 3))
+    assert key_scales["patch_embed"] == pytest.approx(decay ** (depth + 1))
+    assert key_scales["norm"] == 1.0
+
+    tx = optax.chain(build_group_tx("sgd", lambda c: 1.0, 0.0),
+                     scale_updates_by_path(key_scales))
+    st = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, st, params)
+    ratio = float(updates["blocks_0"]["w"][0, 0] / updates["norm"]["scale"][0])
+    assert ratio == pytest.approx(decay ** depth)
+
+
+def test_build_probe_layer_decay_wired():
+    """main_linear.build_probe must apply layer_decay (the config key used to
+    be parsed and dropped): block-0 updates shrink by ~decay^depth vs norm."""
+    from chadavit_tpu.config import Config
+    from chadavit_tpu.models import chada_vit
+    from main_linear import build_probe
+
+    model = chada_vit(patch_size=16, embed_dim=32, return_all_tokens=False,
+                      max_number_channels=2, img_size=32, depth=2, num_heads=2)
+    rng = np.random.default_rng(0)
+    images = rng.random((8, 2, 32, 32)).astype(np.float32)
+    counts = np.full((8,), 2, np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(counts))["params"]
+
+    cfg = Config({
+        "backbone": {"name": "vit_channels",
+                     "kwargs": {"embed_dim": 32, "depth": 2, "max_number_channels": 2,
+                                "return_all_tokens": False}},
+        "data": {"dataset": "synthetic", "num_classes": 3, "img_channels": 2},
+        "optimizer": {"name": "sgd", "lr": 1.0, "weight_decay": 0.0,
+                      "classifier_lr": 1.0, "batch_size": 8, "kwargs": {}},
+        "scheduler": {"warmup_epochs": 0, "warmup_start_lr": 0.0, "min_lr": 0.0},
+        "max_epochs": 1,
+        "finetune": True,
+        "layer_decay": 0.5,
+        "channels_strategy": "multi_channels",
+        "mixed_channels": True,
+    })
+    state, train_step, _ = build_probe(cfg, model, params, steps_per_epoch=1)
+    batch = {"images": jnp.asarray(images), "channel_counts": jnp.asarray(counts),
+             "labels": jnp.asarray(np.zeros(8, np.int32))}
+    before = jax.tree.map(np.asarray, state.backbone)
+    state, _ = train_step(state, batch, jax.random.PRNGKey(0))
+    after = jax.tree.map(np.asarray, state.backbone)
+
+    def delta_norm(key):
+        b = jax.tree.leaves(before[key]); a = jax.tree.leaves(after[key])
+        return float(sum(np.abs(x - y).sum() for x, y in zip(a, b)))
+
+    d0, d_norm = delta_norm("blocks_0"), delta_norm("norm")
+    assert d0 > 0 and d_norm > 0
+    # blocks_0 scaled by 0.5^2=0.25; relative to the unscaled final norm the
+    # aggregate update mass must clearly shrink (not exact: different params)
+    s0 = sum(np.abs(x).sum() for x in jax.tree.leaves(before["blocks_0"]))
+    sn = sum(np.abs(x).sum() for x in jax.tree.leaves(before["norm"]))
+    assert (d0 / max(float(s0), 1e-9)) < (d_norm / max(float(sn), 1e-9))
