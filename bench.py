@@ -1,25 +1,65 @@
 """Benchmark harness: DINO pretrain throughput (images/sec/chip) for the
 flagship chadavit16-moyen config on mixed 1-10-channel batches, measured
-end-to-end through the real pipeline (host loader with channel-count
-bucketing -> jitted train step on device).
+end-to-end through the production pipeline:
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+    host decode -> raw uint8 transfer -> ON-DEVICE multicrop augmentation
+    (2 independent asymmetric global views, the canonical recipe) -> jitted
+    DINO train step (LARS momentum 0.9, the reference parse_cfg optimizer)
+
+The augmentation runs INSIDE the timed loop and the two global views are
+independently sampled (a duplicated-view bench would undercount the per-step
+work and degenerate the loss). Channel-count bucketing is on, as in training.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); the A100
 reference figure is the analytic estimate recorded in BASELINE.md
-(A100_EST_IMG_S below) until a measured number replaces it.
+(A100_EST_IMG_S below) until a measured number replaces it. ``mfu`` is
+model-FLOPs utilization: analytic useful FLOPs per image (valid tokens only,
+student fwd+bwd on 2 crops + teacher fwd on 2 crops + patch embed) divided by
+the v5e bf16 peak (197 TF/s/chip).
 """
 
 import json
+import os
 import sys
 import time
 
-
 A100_EST_IMG_S = 40.0  # analytic A100 estimate for the torch reference; see BASELINE.md
-import os
+V5E_PEAK_FLOPS = 197e12  # bf16 peak per v5e chip
 
 BATCH = int(os.environ.get("CHADAVIT_BENCH_BATCH", 32))
 STEPS = int(os.environ.get("CHADAVIT_BENCH_STEPS", 40))  # timed steps across bucket widths
+
+# the canonical 2-view asymmetric recipe
+# (reference scripts/knn/bbbc048/augmentations/asymmetric.yaml)
+ASYMMETRIC_AUGS = [
+    {"crop_size": 224, "num_crops": 1,
+     "rrc": {"enabled": True, "crop_min_scale": 0.08, "crop_max_scale": 1.0},
+     "color_jitter": {"prob": 0.8}, "grayscale": {"prob": 0.2},
+     "gaussian_blur": {"prob": 1.0}, "solarization": {"prob": 0.0},
+     "horizontal_flip": {"prob": 0.5}},
+    {"crop_size": 224, "num_crops": 1,
+     "rrc": {"enabled": True, "crop_min_scale": 0.08, "crop_max_scale": 1.0},
+     "color_jitter": {"prob": 0.8}, "grayscale": {"prob": 0.2},
+     "gaussian_blur": {"prob": 0.1}, "solarization": {"prob": 0.2},
+     "horizontal_flip": {"prob": 0.5}},
+]
+
+
+def model_flops_per_image(c: int, depth=12, d=192, f=2048, n=196, p=16) -> float:
+    """Useful (unpadded) FLOPs for one image with ``c`` channels through one
+    DINO step: student fwd+bwd (3x fwd) on 2 global crops + teacher fwd on 2.
+    Multiply-add = 2 FLOPs; derivation mirrors BASELINE.md."""
+    s = 1 + n * c
+    per_layer = (
+        2 * s * d * 3 * d        # QKV projection
+        + 2 * 2 * s * s * d      # scores + attn@V (all heads together sum to D)
+        + 2 * s * d * d          # out projection
+        + 4 * s * d * f          # FFN in + out
+    )
+    fwd = depth * per_layer + c * n * 2 * (p * p) * d  # + patch embed conv
+    return 8.0 * fwd  # (1 fwd + 2 bwd) * 2 crops student + 1 fwd * 2 crops teacher
 
 
 def main():
@@ -36,6 +76,7 @@ def main():
     import numpy as np
 
     from chadavit_tpu.data.datasets import SyntheticChannels
+    from chadavit_tpu.data.device_augment import make_multicrop_fn
     from chadavit_tpu.data.pipeline import HostLoader
     from chadavit_tpu.parallel.mesh import make_mesh
     from chadavit_tpu.train.pretrain import DinoPretrainSpec, build_dino
@@ -56,56 +97,62 @@ def main():
         dtype=jnp.bfloat16,
     )
     state, step, _, _ = build_dino(spec, mesh=make_mesh(n_model=1))
+    device_aug = make_multicrop_fn(ASYMMETRIC_AUGS, dtype=spec.dtype)
 
     # synthetic mixed 1-10-channel dataset through the real host pipeline:
     # raw 8-bit planes (as decoded microscopy data), dense uint8 batches,
-    # normalization on-device — the production transfer layout
-    import numpy as np
-
+    # [0,1] conversion + 2 independent augmented views on device
     ds = SyntheticChannels(n=(STEPS + 10) * BATCH, img_size=224,
                            min_channels=1, max_channels=10, seed=0, dtype=np.uint8)
     loader = HostLoader(ds, batch_size=BATCH, max_channels=10, num_workers=8,
                         seed=0, channels_last=True,
                         bucket_by_channels=True, bucket_round=2, dtype=np.uint8)
 
-    def to_step_batch(b):
-        # transfer raw uint8 (4x less than f32), normalize on device
-        imgs = jnp.asarray(b["images"]).astype(spec.dtype) * (1.0 / 255.0)
-        return {
-            "crops": jnp.stack([imgs, imgs], 0),  # 2 global views
-            "channel_counts": jnp.asarray(b["channel_counts"]),
-        }
+    aug_rng = jax.random.PRNGKey(0)
 
-    # warmup: compile every bucket width once
+    def run_one(rng, b):
+        out = device_aug(rng, jnp.asarray(b["images"]),
+                         jnp.asarray(b["channel_counts"]))
+        return step(state, {"crops": out["crops"],
+                            "channel_counts": out["channel_counts"]})
+
+    # warmup: compile every bucket width once (aug + step)
     seen = set()
-    batches = []
-    for b in loader:
-        batches.append(b)
-    import sys as _sys
+    batches = list(loader)
     for b in batches:
         w = b["images"].shape[1]
         if w not in seen:
             seen.add(w)
-            print(f"compiling width={w}...", file=_sys.stderr, flush=True)
-            state, m = step(state, to_step_batch(b))
+            print(f"compiling width={w}...", file=sys.stderr, flush=True)
+            aug_rng, sub = jax.random.split(aug_rng)
+            state, m = run_one(sub, b)
             _ = float(m["dino_loss"])
-            print(f"width={w} compiled", file=_sys.stderr, flush=True)
+            print(f"width={w} compiled", file=sys.stderr, flush=True)
 
     timed = batches[:STEPS]
     n_img = sum(len(b["labels"]) for b in timed)
+    flops = sum(model_flops_per_image(int(c))
+                for b in timed for c in b["channel_counts"])
     t0 = time.time()
     for b in timed:
-        state, m = step(state, to_step_batch(b))
-    _ = float(m["dino_loss"])  # hard sync
+        aug_rng, sub = jax.random.split(aug_rng)
+        state, m = run_one(sub, b)
+    loss = float(m["dino_loss"])  # hard sync
     dt = time.time() - t0
+    assert np.isfinite(loss), loss
 
     n_chips = max(len(jax.devices()), 1)
     img_s_chip = n_img / dt / n_chips
+    mfu = flops / dt / n_chips / V5E_PEAK_FLOPS
     print(json.dumps({
         "metric": "dino_pretrain_images_per_sec_per_chip",
         "value": round(img_s_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s_chip / A100_EST_IMG_S, 3),
+        "mfu": round(mfu, 4),
+        "batch": BATCH,
+        "timed_steps": len(timed),
+        "pipeline": "uint8 host->device + on-device 2-view asymmetric augment + train step",
     }))
 
 

@@ -440,6 +440,24 @@ class AugmentationPipeline:
         return np.ascontiguousarray(img.transpose(2, 0, 1))  # CHW
 
 
+class RawResize:
+    """Host-side dtype-preserving square resize to HWC — the minimal host work
+    for the on-device augmentation path: decode -> resize -> transfer raw
+    uint8/uint16 planes; [0,1] conversion and all random views happen on the
+    accelerator (``device_augment.make_multicrop_fn``)."""
+
+    def __init__(self, size: int, interp: str = "bilinear"):
+        self.size, self.interp = size, interp
+
+    def __call__(self, img: Array, rng=None) -> Array:
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[:2] == (self.size, self.size):
+            return img
+        return _resize(img, self.size, self.size, self.interp)
+
+
 class NCropAugmentation:
     """Apply one pipeline N times (reference ``pretrain_dataloader.py:132-158``)."""
 

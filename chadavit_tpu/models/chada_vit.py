@@ -229,8 +229,8 @@ class ChAdaViT(nn.Module):
     seq_pad_multiple: int = 256
     patch_embed_conv: bool = True
     # "xla" (default) or "pallas": the fused tokenizer kernel (ops/tokenizer.py)
-    # embeds+positions+channel-tags each plane in one VMEM pass. Inference-only
-    # for now (no custom VJP yet — see ROADMAP.md).
+    # embeds+positions+channel-tags each plane in one VMEM pass; differentiable
+    # (custom VJP: fold/unfold matmuls + sum-reductions).
     tokenizer_impl: str = "xla"
 
     @property

@@ -48,17 +48,8 @@ def _tokenizer_kernel(x_ref, w_ref, b_ref, pos_ref, chtok_ref, o_ref, *, patch: 
     o_ref[0, 0] = tokens.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("patch", "interpret"))
-def fused_tokenize(
-    x: Array,  # (B, C, H, W)
-    kernel: Array,  # (p*p, D)
-    bias: Array,  # (D,)
-    patch_pos: Array,  # (N, D) positional rows for the patch grid
-    channel_tokens: Array,  # (C_model, D) one token per channel slot
-    patch: int = 16,
-    interpret: bool = False,
-) -> Array:
-    """Returns ``(B, C*N, D)`` fully-embedded patch tokens."""
+def _fused_tokenize_fwd_impl(x, kernel, bias, patch_pos, channel_tokens,
+                             patch, interpret):
     b, c, h, w = x.shape
     n = (h // patch) * (w // patch)
     d = kernel.shape[1]
@@ -87,3 +78,75 @@ def fused_tokenize(
     )(x, kernel.astype(dtype), bias.astype(dtype).reshape(1, d),
       patch_pos.astype(dtype), channel_tokens.astype(dtype))
     return out.reshape(b, c * n, d)
+
+
+def _unfold(x: Array, patch: int) -> Array:
+    """(B, C, H, W) -> (B, C, N, p*p) patch matrix (host of the kernel's
+    in-VMEM unfold, used only on the backward pass)."""
+    b, c, h, w = x.shape
+    gh, gw = h // patch, w // patch
+    x = x.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 1, 2, 4, 3, 5)
+    return x.reshape(b, c, gh * gw, patch * patch)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_tokenize(
+    x: Array,  # (B, C, H, W)
+    kernel: Array,  # (p*p, D)
+    bias: Array,  # (D,)
+    patch_pos: Array,  # (N, D) positional rows for the patch grid
+    channel_tokens: Array,  # (C_model, D) one token per channel slot
+    patch: int = 16,
+    interpret: bool = False,
+) -> Array:
+    """Returns ``(B, C*N, D)`` fully-embedded patch tokens.
+
+    Differentiable: the forward is the fused Pallas kernel; the backward is
+    three XLA matmuls/reductions (``dx = fold(g @ W^T)``,
+    ``dW = unfold(x)^T @ g``, sum-reductions for bias/pos/channel tokens) —
+    the linearity of the op makes the VJP exact."""
+    return _fused_tokenize_fwd_impl(x, kernel, bias, patch_pos, channel_tokens,
+                                    patch, interpret)
+
+
+def _ft_vjp_fwd(x, kernel, bias, patch_pos, channel_tokens, patch, interpret):
+    out = _fused_tokenize_fwd_impl(x, kernel, bias, patch_pos, channel_tokens,
+                                   patch, interpret)
+    # bias/pos/chtok are small; keeping them in residuals is cheaper than
+    # encoding shape+dtype separately (residuals must be JAX types)
+    return out, (x, kernel, bias, patch_pos, channel_tokens)
+
+
+def _ft_vjp_bwd(patch, interpret, res, g):
+    x, kernel, bias_r, pos_r, ch_r = res
+    b_shape, pos_shape, ch_shape = bias_r.shape, pos_r.shape, ch_r.shape
+    b_dt, pos_dt, ch_dt = bias_r.dtype, pos_r.dtype, ch_r.dtype
+    b, c, h, w = x.shape
+    gh, gw = h // patch, w // patch
+    n = gh * gw
+    d = kernel.shape[1]
+    g = g.reshape(b, c, n, d)
+    gf = g.astype(jnp.float32)
+
+    # dx = fold(g @ W^T)
+    dp = jax.lax.dot_general(g, kernel.astype(g.dtype),
+                             (((3,), (1,)), ((), ())))  # (B, C, N, p*p)
+    dp = dp.reshape(b, c, gh, gw, patch, patch).transpose(0, 1, 2, 4, 3, 5)
+    dx = dp.reshape(b, c, h, w).astype(x.dtype)
+
+    # dW = unfold(x)^T @ g over all (b, c, n)
+    patches = _unfold(x, patch).reshape(b * c * n, patch * patch)
+    dW = jax.lax.dot_general(patches.astype(jnp.float32), gf.reshape(b * c * n, d),
+                             (((0,), (0,)), ((), ()))).astype(kernel.dtype)
+
+    db = jnp.sum(gf, axis=(0, 1, 2)).reshape(b_shape).astype(b_dt)
+    dpos = jnp.sum(gf, axis=(0, 1)).reshape(pos_shape).astype(pos_dt)
+    dch = jnp.sum(gf, axis=(0, 2))  # (C, D)
+    if dch.shape[0] != ch_shape[0]:  # model capacity wider than this batch
+        dch = jnp.pad(dch, ((0, ch_shape[0] - dch.shape[0]), (0, 0)))
+    dch = dch.reshape(ch_shape).astype(ch_dt)
+    return dx, dW, db, dpos, dch
+
+
+fused_tokenize.defvjp(_ft_vjp_fwd, _ft_vjp_bwd)

@@ -82,11 +82,10 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
     multicrop fn (the DALI-equivalent path) and the loader yields single raw
     images instead of host-augmented crops."""
     if cfg.get("device_augmentations", False):
-        from chadavit_tpu.data.transforms import AugmentationPipeline
+        from chadavit_tpu.data.transforms import RawResize
 
         base = cfg["augmentations"][0]["crop_size"] if cfg.get("augmentations") else 224
-        transform = AugmentationPipeline({"crop_size": base, "rrc": {"enabled": False}},
-                                         seed=seed)
+        transform = RawResize(base)
     else:
         pipelines = [
             NCropAugmentation(
@@ -108,6 +107,12 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
     )
     max_channels = (cfg.backbone.get("kwargs", {}).get("max_number_channels")
                     or cfg.data.get("max_img_channels", 10))
+    loader_kwargs = {}
+    if cfg.get("device_augmentations", False):
+        # RawResize keeps the decoder's dtype: transfer raw integer planes and
+        # normalize on device (1-2 bytes/pixel over the host->TPU link)
+        probe = np.asarray(dataset[0][0])
+        loader_kwargs = dict(channels_last=True, dtype=probe.dtype)
     return HostLoader(
         dataset,
         batch_size=cfg.optimizer.batch_size,
@@ -117,6 +122,7 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
         # group batches by channel count and pad only to the bucket width:
         # skips padded-channel FFN/LN work (the step recompiles once per width)
         bucket_by_channels=cfg.get("bucket_by_channels", False),
+        **loader_kwargs,
     )
 
 
@@ -263,7 +269,8 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     if cfg.get("device_augmentations", False):
         from chadavit_tpu.data.device_augment import make_multicrop_fn
 
-        device_aug = make_multicrop_fn([dict(a) for a in cfg.get("augmentations", [])])
+        device_aug = make_multicrop_fn([dict(a) for a in cfg.get("augmentations", [])],
+                                       dtype=spec.dtype)
     aug_rng = jax.random.PRNGKey(seed + 1)
 
     metrics = {}
@@ -271,10 +278,10 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     for epoch in range(start_epoch, cfg.max_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
-            # one whole-batch host cast halves transfer volume for bf16 runs
             if device_aug is not None:
+                # raw integer transfer; [0,1] conversion + views on device
                 aug_rng, sub = jax.random.split(aug_rng)
-                out = device_aug(sub, jnp.asarray(_host_cast(batch["images"])),
+                out = device_aug(sub, jnp.asarray(batch["images"]),
                                  jnp.asarray(batch["channel_counts"]))
                 dev_batch = {"crops": out["crops"].astype(spec.dtype),
                              "channel_counts": out["channel_counts"]}

@@ -96,3 +96,56 @@ def test_multicrop_fn(rng):
     assert out["small_crops"].shape == (2, 4, 5, 8, 8)
     # two large views differ (independent rngs)
     assert not np.allclose(np.asarray(out["crops"][0]), np.asarray(out["crops"][1]))
+
+
+def test_rrc_identity_crop_is_identity():
+    """scale=(1,1), ratio=(1,1) crops the full image: the matmul resampler
+    must reproduce the input (bilinear identity resample)."""
+    from chadavit_tpu.data.device_augment import random_resized_crop
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.random((3, 4, 32, 32), dtype=np.float32))
+    out = random_resized_crop(jax.random.PRNGKey(0), imgs, 32,
+                              scale=(1.0, 1.0), ratio=(1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-5)
+
+
+def test_rrc_matches_scale_and_translate():
+    """The interpolation-matrix resample equals jax.image.scale_and_translate
+    for a known crop box (same half-pixel bilinear convention)."""
+    from chadavit_tpu.data.device_augment import _batched_resample, _lerp_matrix
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((1, 2, 40, 40), dtype=np.float32))
+    y0, x0, ch, cw, size = 5.0, 8.0, 20.0, 30.0, 16
+    i = jnp.arange(size, dtype=jnp.float32)[None, :]
+    src_y = y0 + (i + 0.5) * (ch / size) - 0.5
+    src_x = x0 + (i + 0.5) * (cw / size) - 0.5
+    got = _batched_resample(img, _lerp_matrix(src_y, 40), _lerp_matrix(src_x, 40))
+
+    want = jax.image.scale_and_translate(
+        img[0], (2, size, size), (1, 2),
+        jnp.asarray([size / ch, size / cw]),
+        jnp.asarray([-y0 * size / ch, -x0 * size / cw]),
+        method="linear", antialias=False)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want), atol=1e-5)
+
+
+def test_gaussian_blur_matches_conv():
+    """Banded-matrix blur == separable conv with zero padding."""
+    from chadavit_tpu.data.device_augment import gaussian_blur
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.random((2, 3, 24, 24), dtype=np.float32))
+    out = gaussian_blur(jax.random.PRNGKey(7), imgs, p=1.0, sigma=(1.0, 1.0), radius=4)
+
+    x = np.arange(-4, 5, dtype=np.float32)
+    k = np.exp(-0.5 * x ** 2)
+    k /= k.sum()
+    want = np.zeros_like(np.asarray(imgs))
+    arr = np.asarray(imgs)
+    pad = np.pad(arr, ((0, 0), (0, 0), (4, 4), (0, 0)))
+    tmp = sum(k[t] * pad[:, :, t:t + 24] for t in range(9))
+    pad = np.pad(tmp, ((0, 0), (0, 0), (0, 0), (4, 4)))
+    want = sum(k[t] * pad[:, :, :, t:t + 24] for t in range(9))
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
