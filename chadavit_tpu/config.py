@@ -158,6 +158,12 @@ def _common_defaults(cfg: Config) -> Config:
     select(cfg, "checkpoint.keep_prev", False)
     select(cfg, "auto_resume.enabled", False)
     select(cfg, "auto_resume.max_hours", 36)
+    # mid-epoch (preemption-safe) checkpoints every N steps; 0 = epoch-only
+    select(cfg, "checkpoint.step_frequency", 0)
+    # training-time UMAP of val features (reference AutoUMAP callback,
+    # auto_umap.py:45-228: dir/frequency keys via add_and_assert_specific_cfg)
+    select(cfg, "auto_umap.enabled", False)
+    select(cfg, "auto_umap.frequency", 1)
     # wandb (args/pretrain.py:99-116) — offline metrics logging here
     select(cfg, "wandb.enabled", False)
     select(cfg, "wandb.project", "chadavit_tpu")

@@ -130,20 +130,27 @@ def prepare_data(
     ``classification_dataloader.py:508-582``; ``main_knn.py:205-223`` passes the
     *val* transform for both splits via ``val_transform_for_train``).
 
-    ``native_loader=True`` (eval paths only: deterministic resize transform)
-    swaps in :class:`chadavit_tpu.data.native.NativeEvalLoader` — the whole
-    decode+resize runs in the C++ threadpool. Note: the native path resizes
-    bilinearly while the host path uses cubic; features differ slightly."""
+    ``native_loader=True`` (eval paths only: deterministic val transform)
+    swaps in :class:`chadavit_tpu.data.native.NativeEvalLoader` — decode +
+    shorter-side/square resize + center crop + [0,1] normalization all run in
+    the C++ threadpool, following the same per-dataset EVAL_PROTOCOLS rows as
+    the host path (both resize bilinearly, matching the reference's val
+    interpolation)."""
     if native_loader and val_transform_for_train:
         from chadavit_tpu.data import native
 
         if native.is_available() and dataset != "synthetic":
+            proto = EVAL_PROTOCOLS.get(dataset, _DEFAULT_PROTOCOL)
+            kind = proto["val"]
+            mode = {"none": 0, "square": 0, "square_crop": 1, "shorter_crop": 2}[kind]
+            resize = int(round(crop_size * 256 / 224)) if mode else 0
+            nk = dict(resize_mode=mode, resize_size=resize, normalize=True)
             train_ds = prepare_datasets(dataset, transform=None, train_path=train_path,
                                         train=True, sample_ratio=sample_ratio,
                                         **dataset_kwargs)
             tl = native.NativeEvalLoader(train_ds, batch_size=batch_size,
                                          max_channels=max_channels,
-                                         height=crop_size, width=crop_size)
+                                         height=crop_size, width=crop_size, **nk)
             vl = None
             if val_path is not None:
                 val_ds = prepare_datasets(dataset, transform=None,
@@ -151,7 +158,7 @@ def prepare_data(
                                           **dataset_kwargs)
                 vl = native.NativeEvalLoader(val_ds, batch_size=batch_size,
                                              max_channels=max_channels,
-                                             height=crop_size, width=crop_size)
+                                             height=crop_size, width=crop_size, **nk)
             return tl, vl
 
     t_train, t_val = prepare_transforms(dataset, crop_size, augment_train,

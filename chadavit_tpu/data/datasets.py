@@ -28,20 +28,21 @@ import numpy as np
 
 
 def _imread(path: str) -> np.ndarray:
-    """Decode one single-channel image file. PNG/JPEG via the native C++
-    loader when built (:mod:`chadavit_tpu.data.native`), else PIL; 16-bit TIFF
-    via cv2 (the reference uses tifffile/cv2, ``misc.py:465-478``); .npy raw."""
+    """Decode one single-channel image file in its NATIVE dtype (uint8/uint16
+    raw pixel values). PNG/JPEG/TIFF via the native C++ loader when built
+    (:mod:`chadavit_tpu.data.native`), else PIL/cv2 (the reference uses
+    tifffile/cv2 for 16-bit TIFF, ``misc.py:465-478``); .npy raw."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         return np.load(path)
-    if ext in (".png", ".jpg", ".jpeg"):
+    if ext in (".png", ".jpg", ".jpeg", ".tif", ".tiff"):
         from chadavit_tpu.data import native
 
         if native.is_available():
             try:
-                return native.decode_plane(path)
+                return native.decode_plane_raw(path)
             except RuntimeError:
-                pass  # fall back to PIL below
+                pass  # fall back below (e.g. float TIFF)
 
     if ext in (".tif", ".tiff"):
         try:
@@ -57,18 +58,45 @@ def _imread(path: str) -> np.ndarray:
     return np.array(Image.open(path))
 
 
-def load_channel_stack(paths: List[str]) -> np.ndarray:
-    """Stack N single-channel files into HWC float32 (reference
-    ``custom_datasets.py:166-190``)."""
+def _dtype_scale(dt: np.dtype) -> float:
+    """Divisor mapping raw pixel values to [0,1] (float inputs assumed scaled)."""
+    if dt == np.uint8:
+        return 255.0
+    if dt == np.uint16:
+        return 65535.0
+    if np.issubdtype(dt, np.integer):
+        return float(np.iinfo(dt).max)
+    return 1.0
+
+
+def load_channel_stack(paths: List[str], raw: bool = False) -> np.ndarray:
+    """Stack N single-channel files into HWC (reference
+    ``custom_datasets.py:166-190``).
+
+    Default: float32 normalized to [0,1] by each plane's dtype max. (The
+    reference feeds RAW 0-255/0-65535 floats into a jitter that clamps at 1.0
+    — ``custom_transforms.py:344`` — which destroys raw-range data; [0,1] is
+    the consistent convention this framework uses everywhere.)
+    ``raw=True`` keeps the integer planes untouched (promoting mixed depths to
+    uint16) for the raw-transfer on-device-normalization path."""
     chans = []
+    scales = []
     for p in paths:
         arr = _imread(p)
         if arr.ndim == 3:  # an already-multichannel file contributes all planes
             for c in range(arr.shape[2]):
                 chans.append(arr[:, :, c])
+                scales.append(_dtype_scale(arr.dtype))
         else:
             chans.append(arr)
-    return np.stack(chans, axis=-1).astype(np.float32)
+            scales.append(_dtype_scale(arr.dtype))
+    if raw:
+        if any(c.dtype == np.uint16 for c in chans):
+            chans = [c.astype(np.uint16) * (257 if c.dtype == np.uint8 else 1)
+                     for c in chans]
+        return np.stack(chans, axis=-1)
+    return np.stack([c.astype(np.float32) / s for c, s in zip(chans, scales)],
+                    axis=-1)
 
 
 class CsvManifestDataset:
@@ -87,11 +115,15 @@ class CsvManifestDataset:
         transform: Optional[Callable] = None,
         shuffle: bool = False,
         sample_ratio: float = 1.0,
+        raw: bool = False,
     ):
         self.root_dir = root_dir
         self.train = train
         self.transform = transform
         self.sample_ratio = sample_ratio
+        # raw=True: keep integer planes (uint8/uint16) for the raw-transfer
+        # on-device-normalization path (device_augmentations)
+        self.raw = raw
         self.file_list = self._load_manifest()
 
         # low-data regime with cached lists, training split only
@@ -154,7 +186,7 @@ class CsvManifestDataset:
 
     def __getitem__(self, index: int):
         _, target, paths = self.file_list[index]
-        img = load_channel_stack(paths)
+        img = load_channel_stack(paths, raw=getattr(self, "raw", False))
         if self.transform is not None:
             img = self.transform(img)
         return img, self._target(target)
@@ -179,7 +211,7 @@ class IDRCell100K_3Channels(IDRCell100K):
 
     def __getitem__(self, index: int):
         _, target, paths = self.file_list[index]
-        img = load_channel_stack(paths)[:, :, :3]
+        img = load_channel_stack(paths, raw=getattr(self, "raw", False))[:, :, :3]
         if self.transform is not None:
             img = self.transform(img)
         return img, self._target(target)
@@ -194,9 +226,9 @@ class Bray(CsvManifestDataset):
 
 
 class BBBC021xBray(CsvManifestDataset):
-    """Joint BBBC021+Bray set for the common-compound UMAP; labels bit-pack
-    (dataset_id, class) as ``dataset_id * 1000 + class`` (reference
-    ``custom_datasets.py:431-435``)."""
+    """Joint BBBC021+Bray set for the common-compound UMAP; the manifest's
+    label column carries ``(dataset_idx << 10) | compound`` (reference
+    ``custom_datasets.py:435``; decoded in ``main_umap.py``)."""
 
     img_channels = 3
 

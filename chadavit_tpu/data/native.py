@@ -28,7 +28,7 @@ _build_error: Optional[str] = None
 def _build() -> Optional[str]:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO, "-lpng", "-ljpeg", "-lz", "-lpthread",
+        _SRC, "-o", _SO, "-lpng", "-ljpeg", "-ltiff", "-lz", "-lpthread",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
@@ -66,6 +66,16 @@ def _load():
             ctypes.c_int, ctypes.c_float,
         ]
         lib.chada_load_dense_batch.restype = ctypes.c_int
+        lib.chada_load_dense_batch_v2.argtypes = \
+            lib.chada_load_dense_batch.argtypes + [ctypes.c_int, ctypes.c_int,
+                                                   ctypes.c_int]
+        lib.chada_load_dense_batch_v2.restype = ctypes.c_int
+        lib.chada_decode_plane_raw.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.chada_decode_plane_raw.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -96,6 +106,28 @@ def decode_plane(path: str, max_pixels: int = 64 * 1024 * 1024) -> np.ndarray:
     return buf[: w.value * h.value].reshape(h.value, w.value).copy()
 
 
+def decode_plane_raw(path: str, max_pixels: int = 64 * 1024 * 1024) -> np.ndarray:
+    """Decode one plane keeping the source integer dtype (uint8 or uint16 HW) —
+    the raw-transfer path: ship 1-2 bytes/pixel, normalize on device."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_build_error}")
+    buf = np.empty(max_pixels * 2, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    d = ctypes.c_int()
+    rc = lib.chada_decode_plane_raw(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size, ctypes.byref(w), ctypes.byref(h), ctypes.byref(d),
+    )
+    if rc != 0:
+        raise RuntimeError(f"raw decode failed ({rc}): {path}")
+    n = w.value * h.value
+    if d.value == 16:
+        return buf[: n * 2].view(np.uint16).reshape(h.value, w.value).copy()
+    return buf[:n].reshape(h.value, w.value).copy()
+
+
 def load_dense_batch(
     channel_paths: Sequence[Sequence[str]],
     max_channels: int,
@@ -103,9 +135,17 @@ def load_dense_batch(
     width: int,
     num_threads: int = 8,
     scale: float = 1.0,
+    resize_mode: int = 0,
+    resize_size: int = 0,
+    normalize: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode+resize a batch of multi-channel images straight into the dense
-    ``(B, C_max, H, W)`` float32 layout. Returns (batch, channel_counts)."""
+    ``(B, C_max, H, W)`` float32 layout. Returns (batch, channel_counts).
+
+    ``resize_mode``: 0 square resize to (H, W); 1 square resize to
+    ``resize_size`` then center crop; 2 shorter-side resize to ``resize_size``
+    then center crop (the reference eval protocols). ``normalize`` divides by
+    the source dtype max (255 / 65535) so values land in [0, 1]."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native loader unavailable: {_build_error}")
@@ -119,13 +159,13 @@ def load_dense_batch(
     c_paths = (ctypes.c_char_p * len(flat))(*flat)
     out = np.zeros((b, max_channels, height, width), np.float32)
     counts = np.zeros(b, np.int32)
-    failures = lib.chada_load_dense_batch(
+    failures = lib.chada_load_dense_batch_v2(
         c_paths,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         b, max_channels, height, width,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        num_threads, scale,
+        num_threads, scale, int(resize_mode), int(resize_size), int(normalize),
     )
     if failures:
         raise RuntimeError(f"{failures} plane(s) failed to decode")
@@ -139,7 +179,8 @@ class NativeEvalLoader:
 
     def __init__(self, dataset, batch_size: int, max_channels: int,
                  height: int, width: int, num_threads: int = 8, scale: float = 1.0,
-                 drop_last: bool = False):
+                 drop_last: bool = False, resize_mode: int = 0,
+                 resize_size: int = 0, normalize: bool = True):
         # dataset must expose .file_list rows (image_id, target, paths)
         self.rows = list(dataset.file_list)
         self.task = getattr(dataset, "task", "classification")
@@ -149,6 +190,9 @@ class NativeEvalLoader:
         self.num_threads = num_threads
         self.scale = scale
         self.drop_last = drop_last
+        self.resize_mode = resize_mode
+        self.resize_size = resize_size
+        self.normalize = normalize
 
     def __len__(self):
         n = len(self.rows)
@@ -162,7 +206,10 @@ class NativeEvalLoader:
             paths = [r[2] for r in rows]
             images, counts = load_dense_batch(paths, self.max_channels,
                                               self.height, self.width,
-                                              self.num_threads, self.scale)
+                                              self.num_threads, self.scale,
+                                              resize_mode=self.resize_mode,
+                                              resize_size=self.resize_size,
+                                              normalize=self.normalize)
             labels = np.asarray(
                 [float(r[1]) if self.task == "regression" else int(r[1]) for r in rows])
             yield {"images": images, "channel_counts": counts, "labels": labels}

@@ -28,7 +28,7 @@ Fidelity notes:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +64,13 @@ class DinoStepConfig(NamedTuple):
     # micro-batches per optimizer step; schedules/EMA track OPTIMIZER steps
     # (reference guards EMA with global_step > last_step, base.py:1263-1276)
     accumulate: int = 1
+    # online classifier on detached features for labeled (non-mixed) pretrain
+    # (reference base.py:233,561-563): its CE reaches only the classifier
+    # params (features are stop_gradient'ed), so DINO dynamics are unchanged;
+    # train_acc1/5 are logged. The EMA pair doubles as the momentum classifier
+    # (reference base.py:1034-1039,1068-1075).
+    num_classes: int = 0
+    momentum_classifier: bool = False
 
 
 def _clip_backbone_grads(grads_backbone, clip: float):
@@ -115,6 +122,7 @@ def make_dino_train_step(
     head_apply: Callable,
     tx: optax.GradientTransformation,
     cfg: DinoStepConfig,
+    classifier_apply: Optional[Callable] = None,
 ) -> Callable[[DinoState, Dict[str, Array]], Tuple[DinoState, Dict[str, Array]]]:
     """Build the jittable train step.
 
@@ -122,8 +130,22 @@ def make_dino_train_step(
     ``head_apply(params, feats) -> (M, P)`` logits, where ``M = num_crops * B``.
 
     Batch layout: ``{"crops": (num_large_crops, B, C_max, H, W),
-    "channel_counts": (B,)}``.
+    "channel_counts": (B,)}`` plus ``"labels": (B,)`` when the online
+    classifier is enabled (``cfg.num_classes > 0``).
     """
+
+    def _class_metrics(logits: Array, targets: Array, prefix: str) -> Dict[str, Array]:
+        valid = targets >= 0
+        t = jnp.where(valid, targets, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        per = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
+        n = jnp.maximum(jnp.sum(valid), 1)
+        loss = jnp.sum(jnp.where(valid, per, 0.0)) / n
+        top_k_max = min(5, logits.shape[-1])
+        rank = jnp.sum(logp > jnp.take_along_axis(logp, t[:, None], -1), axis=-1)
+        acc1 = jnp.sum(jnp.where(valid, (rank < 1).astype(jnp.float32), 0.0)) / n * 100
+        acc5 = jnp.sum(jnp.where(valid, (rank < top_k_max).astype(jnp.float32), 0.0)) / n * 100
+        return {f"{prefix}class_loss": loss, f"{prefix}acc1": acc1, f"{prefix}acc5": acc5}
 
     def train_step(state: DinoState, batch: Dict[str, Array]):
         crops = batch["crops"]
@@ -142,6 +164,9 @@ def make_dino_train_step(
         t_feats = backbone_apply(state.teacher["backbone"], flat, cc_rep)
         t_z = head_apply(state.teacher["head"], t_feats)
         t_z = jax.lax.stop_gradient(t_z)
+
+        use_classifier = cfg.num_classes > 0 and classifier_apply is not None \
+            and "labels" in batch
 
         def loss_fn(student_params):
             s_feats = backbone_apply(student_params["backbone"], flat, cc_rep)
@@ -165,9 +190,20 @@ def make_dino_train_step(
                     )
                 ),
             }
-            return loss, aux
+            total = loss
+            if use_classifier:
+                # classifier CE on DETACHED features: gradients reach only the
+                # classifier params; the optimized DINO objective is unchanged
+                # (reference returns dino_loss alone, dino.py:325)
+                targets_rep = jnp.tile(batch["labels"], nc)
+                logits = classifier_apply(student_params["classifier"],
+                                          jax.lax.stop_gradient(s_feats))
+                cls = _class_metrics(logits, targets_rep, "train_")
+                aux["cls_metrics"] = cls
+                total = loss + cls["train_class_loss"]
+            return total, (loss, aux)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)
+        (_, (loss, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)
 
         # gradient hygiene (reference on_after_backward, dino.py:367-376)
         if cfg.clip_grad:
@@ -219,6 +255,14 @@ def make_dino_train_step(
             "center_norm": jnp.linalg.norm(aux["new_center"]),
             "epoch": epoch,
         }
+        if "cls_metrics" in aux:
+            metrics.update(aux["cls_metrics"])
+        if use_classifier and cfg.momentum_classifier:
+            # momentum (EMA) classifier on teacher features, metrics only
+            # (reference base.py:1034-1039,1102-1155)
+            m_logits = classifier_apply(state.teacher["classifier"], t_feats)
+            metrics.update(_class_metrics(m_logits, jnp.tile(batch["labels"], nc),
+                                          "momentum_"))
         return new_state, metrics
 
     return train_step

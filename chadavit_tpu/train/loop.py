@@ -65,6 +65,14 @@ def spec_from_cfg(cfg: Config, steps_per_epoch: int) -> DinoPretrainSpec:
         channels_strategy=cfg.get("channels_strategy", "multi_channels"),
         mixed_channels=cfg.get("mixed_channels", True),
         img_channels=cfg.data.get("img_channels", 3),
+        # online classifier on detached feats for labeled non-mixed pretrain
+        # (reference base.py:233,561-563; disabled under mixed_channels,
+        # base.py:640-648)
+        num_classes=int(cfg.data.get("num_classes", 0) or 0),
+        online_classifier=(not cfg.get("mixed_channels", True)
+                           and int(cfg.data.get("num_classes", 0) or 0) > 0),
+        momentum_classifier=bool(cfg.get("momentum_classifier", False)),
+        classifier_lr=float(opt.get("classifier_lr", 3e-3) or 3e-3),
         num_large_crops=cfg.data.num_large_crops,
         max_epochs=cfg.max_epochs,
         steps_per_epoch=steps_per_epoch,
@@ -103,7 +111,10 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
         sample_ratio=cfg.data.get("sample_ratio", 1.0),
         **(dict(n=cfg.data.get("size", 256), img_size=cfg["augmentations"][0]["crop_size"],
                 max_channels=cfg.data.get("max_img_channels", 10))
-           if cfg.data.dataset == "synthetic" else {}),
+           if cfg.data.dataset == "synthetic"
+           # manifest datasets: keep raw integer planes for the uint8/uint16
+           # transfer + on-device normalization path
+           else (dict(raw=True) if cfg.get("device_augmentations", False) else {})),
     )
     max_channels = (cfg.backbone.get("kwargs", {}).get("max_number_channels")
                     or cfg.data.get("max_img_channels", 10))
@@ -146,9 +157,12 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     print("student parameters (head):\n" + pretty_param_summary(
         jax.device_get(state.student["head"])))
 
-    # checkpointing + auto-resume (reference main_pretrain.py:211-230)
+    # checkpointing + auto-resume (reference main_pretrain.py:211-230);
+    # resume is EXACT-step: mid-epoch checkpoints restore into the same batch
+    # order (deterministic per-epoch shuffling + step-indexed rng)
     ckptr = None
     start_epoch = 0
+    start_step = 0
     if cfg.checkpoint.enabled:
         resume_path = cfg.get("resume_from_checkpoint")
         run_id = None
@@ -159,12 +173,30 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
             ).find_checkpoint(cfg)
         if resume_path:
             state = restore_pytree(resume_path, state)
-            start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
-            print(f"auto-resumed from {resume_path} at epoch {start_epoch}")
+            start_step = int(jax.device_get(state.step))
+            start_epoch = start_step // steps_per_epoch
+            print(f"auto-resumed from {resume_path} at step {start_step} "
+                  f"(epoch {start_epoch})")
         ckptr = Checkpointer(cfg, base_dir=cfg.checkpoint.dir,
                              frequency=cfg.checkpoint.frequency,
                              keep_prev=cfg.checkpoint.get("keep_prev", False),
                              run_id=run_id)
+
+    # preemption hook (reference SLURMEnvironment(requeue_signal=SIGUSR1),
+    # main_pretrain.py:304-306): SIGTERM/SIGUSR1 -> checkpoint at the current
+    # step and exit cleanly; auto-resume picks the run back up exactly there
+    import signal
+    import threading
+
+    preempted = threading.Event()
+    if threading.current_thread() is threading.main_thread():
+        for _sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(_sig, lambda *_: preempted.set())
+            except (ValueError, OSError):  # pragma: no cover
+                pass
+    step_ckpt_every = int(cfg.checkpoint.get("step_frequency", 0) or 0) \
+        if cfg.checkpoint.enabled else 0
 
     logger = MetricLogger(ckptr.path if ckptr else ".", stdout_every=cfg.get("log_every", 50))
     timer = StepTimer()
@@ -172,8 +204,10 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     # ---- optional per-epoch validation: online kNN on student CLS features
     # (reference knn_eval, base.py:282-287,723-731) over a labeled val split ----
     knn_enabled = bool(cfg.get("knn_eval", {}).get("enabled", False))
+    umap_enabled = bool(cfg.get("auto_umap", {}).get("enabled", False))
     val_loader = None
-    if knn_enabled and (cfg.data.get("val_path") or cfg.data.dataset == "synthetic"):
+    if (knn_enabled or umap_enabled) and (cfg.data.get("val_path")
+                                          or cfg.data.dataset == "synthetic"):
         from chadavit_tpu.data.classification import prepare_data
 
         max_channels = (cfg.backbone.get("kwargs", {}).get("max_number_channels")
@@ -223,6 +257,15 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
                           "horizontal_flip": {"prob": 0.5}}]
         ssl_val_aug = _mk_mc(_val_augs)
 
+    auto_umap = None
+    if umap_enabled and val_loader is not None:
+        from chadavit_tpu.utils.auto_umap import AutoUMAP
+
+        auto_umap = AutoUMAP(
+            out_dir=str(ckptr.path) if ckptr else "auto_umap",
+            frequency=int(cfg.get("auto_umap", {}).get("frequency", 1)),
+        )
+
     def validate(epoch: int):
         if val_loader is None:
             return {}
@@ -234,16 +277,26 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         def feature_fn(p, images, counts):
             return model.apply({"params": p}, images.astype(spec.dtype), counts)
 
-        tr_f, tr_t = extract_features(knn_train_loader, feature_fn, params)
         te_f, te_t = extract_features(val_loader, feature_fn, params)
-        mask_tr, mask_te = tr_t != -1, te_t != -1
+        mask_te = te_t != -1
+        out = {}
+        if auto_umap is not None and mask_te.any():
+            # training-time UMAP of val features (reference AutoUMAP callback)
+            path = auto_umap.maybe_plot(epoch, te_f[mask_te], te_t[mask_te],
+                                        seed=seed)
+            if path:
+                print(f"auto-umap: {path}")
+        if not knn_enabled:
+            return out
+        tr_f, tr_t = extract_features(knn_train_loader, feature_fn, params)
+        mask_tr = tr_t != -1
         if not mask_tr.any() or not mask_te.any():
-            return {}
+            return out
         k = int(cfg.get("knn_eval", {}).get("k", 20))
         top1, top5 = knn_classify(tr_f[mask_tr], tr_t[mask_tr], te_f[mask_te], te_t[mask_te],
                                   k=k, distance_fx=cfg.get("knn_eval", {}).get(
                                       "distance_func", "cosine"))
-        out = {"val_knn_top1": top1, "val_knn_top5": top5}
+        out.update({"val_knn_top1": top1, "val_knn_top5": top5})
         if ssl_val is not None:
             losses = []
             vrng = jax.random.PRNGKey(10_000 + epoch)
@@ -271,16 +324,22 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
 
         device_aug = make_multicrop_fn([dict(a) for a in cfg.get("augmentations", [])],
                                        dtype=spec.dtype)
-    aug_rng = jax.random.PRNGKey(seed + 1)
+    # step-indexed rng (fold_in, not sequential splits) so an exact-step resume
+    # reproduces the augmentation stream of an uninterrupted run
+    aug_base = jax.random.PRNGKey(seed + 1)
 
     metrics = {}
     done = 0
+    gstep = start_step  # python-side mirror of state.step (no per-step sync)
     for epoch in range(start_epoch, cfg.max_epochs):
         loader.set_epoch(epoch)
-        for batch in loader:
+        skip = start_step % steps_per_epoch if epoch == start_epoch else 0
+        for bi, batch in enumerate(loader):
+            if bi < skip:  # mid-epoch resume: already-consumed batches
+                continue
             if device_aug is not None:
                 # raw integer transfer; [0,1] conversion + views on device
-                aug_rng, sub = jax.random.split(aug_rng)
+                sub = jax.random.fold_in(aug_base, gstep)
                 out = device_aug(sub, jnp.asarray(batch["images"]),
                                  jnp.asarray(batch["channel_counts"]))
                 dev_batch = {"crops": out["crops"].astype(spec.dtype),
@@ -290,13 +349,24 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
                     "crops": jnp.asarray(_host_cast(batch["crops"])),
                     "channel_counts": jnp.asarray(batch["channel_counts"]),
                 }
+            if spec.online_classifier and spec.num_classes > 0:
+                dev_batch["labels"] = jnp.asarray(
+                    np.asarray(batch["labels"]).astype(np.int32))
             state, metrics = train_step(state, dev_batch)
             timer.tick()
             done += 1
+            gstep += 1
             if done % cfg.get("log_every", 50) == 0:
                 logger.log({**{k: float(v) for k, v in metrics.items()},
                             **timer.summary(cfg.optimizer.batch_size)},
-                           step=int(jax.device_get(state.step)))
+                           step=gstep)
+            if ckptr and step_ckpt_every and gstep % step_ckpt_every == 0:
+                ckptr.save_step(jax.device_get(state), gstep)
+            if preempted.is_set():
+                if ckptr:
+                    ckptr.save_step(jax.device_get(state), gstep)
+                print(f"preemption signal: checkpointed at step {gstep}, exiting")
+                return {k: float(v) for k, v in metrics.items()}
             if max_steps and done >= max_steps:
                 if ckptr:
                     ckptr.save(jax.device_get(state), epoch)

@@ -70,6 +70,12 @@ class DinoPretrainSpec:
     warmup_epochs: float = 10
     warmup_start_lr: float = 3e-5
     min_lr: float = 0.0
+    # online classifier on detached features for labeled non-mixed pretrain
+    # (reference base.py:233,561-563; momentum pair base.py:1034-1039)
+    num_classes: int = 0
+    online_classifier: bool = False
+    momentum_classifier: bool = False
+    classifier_lr: float = 3e-3
     # loop sizes
     num_large_crops: int = 2
     max_epochs: int = 400
@@ -130,6 +136,13 @@ def build_dino(
         dtype=spec.dtype,
     )
 
+    use_classifier = spec.online_classifier and spec.num_classes > 0
+    clf = None
+    if use_classifier:
+        from flax import linen as fnn
+
+        clf = fnn.Dense(spec.num_classes, dtype=spec.dtype)
+
     r1, r2 = jax.random.split(rng)
     if is_chada:
         dummy = jnp.zeros((1, spec.max_channels, spec.img_size, spec.img_size), spec.dtype)
@@ -140,6 +153,9 @@ def build_dino(
         backbone_params = model.init(r1, dummy)["params"]
     head_params = head.init(r2, jnp.zeros((1, features_dim), spec.dtype))["params"]
     student = {"backbone": backbone_params, "head": head_params}
+    if use_classifier:
+        student["classifier"] = clf.init(
+            jax.random.fold_in(rng, 2), jnp.zeros((1, features_dim), spec.dtype))["params"]
 
     lr_schedule = functools.partial(
         warmup_cosine_lr,
@@ -156,8 +172,25 @@ def build_dino(
         spec.optimizer_kwargs,
         spec.exclude_bias_n_norm_wd,
     )
+    groups = {"all": group}
     labels = jax.tree.map(lambda _: "all", student)
-    tx = grouped_optimizer({"all": group}, labels)
+    if use_classifier:
+        # classifier param group: own (pre-scaled) lr, weight decay 0
+        # (reference base.py:406-414)
+        clf_schedule = functools.partial(
+            warmup_cosine_lr,
+            base_lr=spec.classifier_lr,
+            total_steps=spec.total_steps,
+            warmup_steps=int(spec.warmup_epochs * spec.steps_per_epoch),
+            warmup_start_lr=min(spec.warmup_start_lr, spec.classifier_lr),
+            min_lr=spec.min_lr,
+        )
+        groups["classifier"] = build_group_tx(
+            spec.optimizer, clf_schedule, 0.0, spec.optimizer_kwargs)
+        labels = dict(labels)
+        labels["classifier"] = jax.tree.map(lambda _: "classifier",
+                                            student["classifier"])
+    tx = grouped_optimizer(groups, labels)
     if spec.accumulate_grad_batches > 1:
         import optax
 
@@ -183,6 +216,8 @@ def build_dino(
         warmup_steps=int(spec.warmup_epochs * spec.steps_per_epoch),
         warmup_start_lr=spec.warmup_start_lr,
         min_lr=spec.min_lr,
+        num_classes=spec.num_classes if use_classifier else 0,
+        momentum_classifier=spec.momentum_classifier,
     )
 
     if is_chada:
@@ -199,7 +234,13 @@ def build_dino(
     def head_apply(params, feats):
         return head.apply({"params": params}, feats)
 
-    raw_step = make_dino_train_step(backbone_apply, head_apply, tx, step_cfg)
+    classifier_apply = None
+    if use_classifier:
+        def classifier_apply(params, feats):  # noqa: E306
+            return clf.apply({"params": params}, feats)
+
+    raw_step = make_dino_train_step(backbone_apply, head_apply, tx, step_cfg,
+                                    classifier_apply=classifier_apply)
 
     # ---- sharding: params per TP rules, batch over the data axis ----
     rep = replicated(mesh)
@@ -210,6 +251,12 @@ def build_dino(
     state_sh = DinoState(step=rep, student=student_sh, teacher=student_sh,
                          opt_state=opt_sh, center=rep)
     batch_sh = dino_batch_shardings(mesh)
+    if use_classifier:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from chadavit_tpu.parallel.mesh import DATA_AXIS
+
+        batch_sh = dict(batch_sh, labels=NamedSharding(mesh, P(DATA_AXIS)))
     metric_sh = rep
 
     state = jax.device_put(state, state_sh)
@@ -232,4 +279,8 @@ def synthetic_dino_batch(spec: DinoPretrainSpec, batch_size: int, seed: int = 0)
     # zero out padded channels like a real collate would
     for i, c in enumerate(counts):
         crops[:, i, c:] = 0.0
-    return {"crops": jnp.asarray(crops, spec.dtype), "channel_counts": jnp.asarray(counts)}
+    batch = {"crops": jnp.asarray(crops, spec.dtype), "channel_counts": jnp.asarray(counts)}
+    if spec.online_classifier and spec.num_classes > 0:
+        batch["labels"] = jnp.asarray(
+            rng.integers(0, spec.num_classes, size=(batch_size,)).astype(np.int32))
+    return batch

@@ -119,14 +119,25 @@ class Checkpointer:
     def ckpt_path(self, epoch: int) -> Path:
         return self.path / f"{self.name}-{self.run_id}-ep={epoch}"
 
-    def save(self, state: Any, epoch: int):
-        if epoch % self.frequency != 0:
-            return
-        ckpt = self.ckpt_path(epoch)
+    def step_ckpt_path(self, step: int) -> Path:
+        return self.path / f"{self.name}-{self.run_id}-step={step}"
+
+    def _save(self, state: Any, ckpt: Path):
         save_pytree(str(ckpt), state)
         if self.last_ckpt and self.last_ckpt != ckpt and not self.keep_prev:
             shutil.rmtree(self.last_ckpt, ignore_errors=True)
         self.last_ckpt = ckpt
+
+    def save(self, state: Any, epoch: int):
+        if epoch % self.frequency != 0:
+            return
+        self._save(state, self.ckpt_path(epoch))
+
+    def save_step(self, state: Any, step: int):
+        """Mid-epoch checkpoint (preemption safety — the reference requeues via
+        ``SLURMEnvironment(requeue_signal=SIGUSR1)``, ``main_pretrain.py:304-306``;
+        here the state snapshot at an exact global step serves the same role)."""
+        self._save(state, self.step_ckpt_path(step))
 
 
 class AutoResumer:
@@ -154,7 +165,7 @@ class AutoResumer:
                 continue
             run_dir = args_json.parent
             for ckpt in run_dir.iterdir():
-                m = re.search(r"-ep=(\d+)$", ckpt.name)
+                m = re.search(r"-(?:ep|step)=(\d+)$", ckpt.name)
                 if not m or not ckpt.is_dir():
                     continue
                 age = time.time() - ckpt.stat().st_mtime

@@ -2,10 +2,11 @@
 ``src/utils/auto_umap.py:231-476``).
 
 Extracts features with the validation transform, projects to 2-D, and saves a
-class-colored scatter (PNG + PDF). umap-learn is not available in this image,
-so the projector falls back to sklearn TSNE (gated import — same plot
-contract); ``data.multi_labels`` bit-unpacking for the BBBC021xBray
-common-compound plot is honored (reference ``custom_datasets.py:431-435``)."""
+class-colored scatter (PNG + PDF). ``data.multi_labels`` bit-unpacking for the
+BBBC021xBray set follows the reference exactly — ``(dataset_idx << 10) |
+compound`` (``custom_datasets.py:435``) — and additionally produces the
+common-compound dual-dataset overlay (reference ``plot_multi_labels``,
+``auto_umap.py:347-446``)."""
 
 import numpy as np
 
@@ -13,42 +14,7 @@ from chadavit_tpu.cli import load_backbone_for_eval, load_cfg
 from chadavit_tpu.config import parse_umap_cfg
 from chadavit_tpu.data.classification import dataset_img_channels, prepare_data
 from chadavit_tpu.eval.features import extract_features, make_feature_fn
-
-
-def project_2d(features: np.ndarray, seed: int = 5) -> np.ndarray:
-    try:
-        import umap
-
-        return umap.UMAP(n_components=2, random_state=seed).fit_transform(features)
-    except ImportError:
-        from sklearn.manifold import TSNE
-
-        perplexity = max(2, min(30, len(features) // 4))
-        return TSNE(n_components=2, random_state=seed,
-                    perplexity=perplexity).fit_transform(features)
-
-
-def plot_scatter(emb: np.ndarray, labels: np.ndarray, path_base: str, label_names=None):
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(8, 8))
-    classes = np.unique(labels)
-    cmap = plt.get_cmap("tab20")
-    for i, c in enumerate(classes):
-        m = labels == c
-        name = label_names.get(int(c), str(c)) if label_names else str(c)
-        ax.scatter(emb[m, 0], emb[m, 1], s=4, color=cmap(i % 20), label=name)
-    if len(classes) <= 25:
-        ax.legend(markerscale=3, fontsize=7)
-    ax.set_xticks([])
-    ax.set_yticks([])
-    fig.tight_layout()
-    fig.savefig(path_base + ".png", dpi=200)
-    fig.savefig(path_base + ".pdf")
-    plt.close(fig)
+from chadavit_tpu.utils.auto_umap import plot_common_compounds, plot_scatter, project_2d
 
 
 def main(argv=None):
@@ -83,9 +49,15 @@ def main(argv=None):
 
     names = getattr(DATASETS.get(cfg.data.dataset), "int_to_labels", None)
     if cfg.data.get("multi_labels"):
-        # bit-packed (dataset_id * 1000 + class): plot both factors
-        plot_scatter(emb, targets // 1000, f"{cfg.name}_umap_dataset")
-        plot_scatter(emb, targets % 1000, f"{cfg.name}_umap_class", names)
+        # bit-packed (dataset_idx << 10) | compound (reference
+        # custom_datasets.py:435, decoded as in auto_umap.py:388-390)
+        dataset_idx = targets >> 10
+        compound_idx = targets & 0x3FF
+        plot_scatter(emb, dataset_idx, f"{cfg.name}_umap_dataset")
+        plot_scatter(emb, compound_idx, f"{cfg.name}_umap_class", names)
+        plot_common_compounds(emb, dataset_idx, compound_idx,
+                              f"{cfg.name}_umap_common_compounds")
+        print(f"saved {cfg.name}_umap_common_compounds.png")
     else:
         plot_scatter(emb, targets, f"{cfg.name}_umap", names)
     print(f"saved {cfg.name}_umap.png/.pdf")

@@ -1,18 +1,25 @@
 // chadaloader — native host data loader for chadavit_tpu.
 //
 // TPU-native replacement for the reference's host-side decode stack
-// (PIL / opencv / NVIDIA DALI wrappers, reference src/data/dali_dataloader.py
-// and custom_datasets.py:166-190): a C++ threadpool that decodes per-channel
-// image files (PNG 8/16-bit via libpng, JPEG via libjpeg), bilinear-resizes,
-// scales, and writes directly into a dense (B, C_max, H, W) float32 batch
-// buffer — the exact layout the jitted train step consumes. No Python in the
-// per-image inner loop; the GIL is released for the whole batch.
+// (PIL / opencv / tifffile / NVIDIA DALI wrappers, reference
+// src/data/dali_dataloader.py, src/utils/misc.py:465-478 and
+// custom_datasets.py:166-190): a C++ threadpool that decodes per-channel
+// image files (PNG 8/16-bit via libpng, JPEG via libjpeg, TIFF 8/16-bit via
+// libtiff), bilinear-resizes (optionally shorter-side + center crop, the eval
+// protocol), normalizes, and writes directly into a dense (B, C_max, H, W)
+// float32 batch buffer — the exact layout the jitted train step consumes. No
+// Python in the per-image inner loop; the GIL is released for the whole batch.
 //
 // C ABI (ctypes-friendly):
-//   chada_decode_plane(path, out, out_cap, &w, &h)     decode one plane (native size)
-//   chada_load_dense_batch(paths, offsets, counts, B, C_max, H, W, out, threads, scale)
+//   chada_decode_plane(path, out, out_cap, &w, &h)      decode one plane (f32, native size)
+//   chada_decode_plane_raw(path, out, cap, &w, &h, &d)  raw u8/u16 bytes + bit depth
+//   chada_load_dense_batch(...)                         square resize, legacy scale
+//   chada_load_dense_batch_v2(..., resize_mode, resize_size, normalize)
+//     resize_mode: 0 square->(H,W); 1 square->(resize_size)^2 then center crop;
+//                  2 shorter-side->resize_size then center crop
+//     normalize:   1 -> divide by the plane's dtype max (255/65535) before scale
 //
-// Build: g++ -O3 -march=native -shared -fPIC chadaloader.cpp -lpng -ljpeg -lz
+// Build: g++ -O3 -march=native -shared -fPIC chadaloader.cpp -lpng -ljpeg -ltiff -lz
 //        (driven by chadavit_tpu/data/native.py)
 
 #include <algorithm>
@@ -27,6 +34,7 @@
 #include <vector>
 
 #include <png.h>
+#include <tiffio.h>
 extern "C" {
 #include <jpeglib.h>
 }
@@ -36,6 +44,7 @@ namespace {
 struct Plane {
   std::vector<float> data;
   int w = 0, h = 0;
+  int depth = 8;  // source bit depth: 8, 16, or 32 (float)
   bool ok = false;
 };
 
@@ -83,6 +92,7 @@ Plane decode_png(FILE* f) {
 
   out.w = (int)w;
   out.h = (int)h;
+  out.depth = bit_depth == 16 ? 16 : 8;
   out.data.resize((size_t)w * h);
   if (bit_depth == 16) {
     const uint16_t* p = reinterpret_cast<const uint16_t*>(raw.data());
@@ -91,6 +101,78 @@ Plane decode_png(FILE* f) {
     for (size_t i = 0; i < out.data.size(); ++i) out.data[i] = (float)raw[i];
   }
   out.ok = true;
+  return out;
+}
+
+// --------------------------------------------------------------- TIFF ----
+// 8/16-bit grayscale (the microscopy format; reference decodes via
+// tifffile/cv2 IMREAD_UNCHANGED, misc.py:465-478) and 32-bit float; RGB
+// collapses to luma. Strip- and tile-organized files via TIFFReadScanline /
+// TIFFReadEncodedTile.
+Plane decode_tiff(const char* path) {
+  Plane out;
+  TIFFSetErrorHandler(nullptr);   // quiet; failure returns !ok
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return out;
+  uint32_t w = 0, h = 0;
+  uint16_t bits = 8, spp = 1, fmt = SAMPLEFORMAT_UINT;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bits);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLEFORMAT, &fmt);
+  if (!w || !h || (bits != 8 && bits != 16 && bits != 32)) {
+    TIFFClose(tif);
+    return out;
+  }
+  out.w = (int)w;
+  out.h = (int)h;
+  out.depth = (fmt == SAMPLEFORMAT_IEEEFP) ? 32 : (int)bits;
+  out.data.resize((size_t)w * h);
+
+  auto to_gray = [&](const uint8_t* row, float* dst, uint32_t ncols) {
+    for (uint32_t x = 0; x < ncols; ++x) {
+      double acc = 0;
+      int used = std::min<int>(spp, 3);  // average first <=3 (RGB) samples
+      for (int s = 0; s < used; ++s) {
+        size_t i = (size_t)x * spp + s;
+        if (bits == 8) acc += row[i];
+        else if (bits == 16) acc += reinterpret_cast<const uint16_t*>(row)[i];
+        else acc += reinterpret_cast<const float*>(row)[i];
+      }
+      dst[x] = (float)(acc / used);
+    }
+  };
+
+  bool ok = true;
+  if (TIFFIsTiled(tif)) {
+    uint32_t tw = 0, th_ = 0;
+    TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
+    TIFFGetField(tif, TIFFTAG_TILELENGTH, &th_);
+    std::vector<uint8_t> tile(TIFFTileSize(tif));
+    std::vector<float> tmp(tw);
+    for (uint32_t y0 = 0; y0 < h && ok; y0 += th_) {
+      for (uint32_t x0 = 0; x0 < w && ok; x0 += tw) {
+        if (TIFFReadTile(tif, tile.data(), x0, y0, 0, 0) < 0) { ok = false; break; }
+        for (uint32_t ty = 0; ty < th_ && y0 + ty < h; ++ty) {
+          const uint8_t* row = tile.data() + (size_t)ty * tw * spp * (bits / 8);
+          to_gray(row, tmp.data(), tw);
+          uint32_t n = std::min<uint32_t>(tw, w - x0);
+          std::memcpy(out.data.data() + (size_t)(y0 + ty) * w + x0, tmp.data(),
+                      n * sizeof(float));
+        }
+      }
+    }
+  } else {
+    std::vector<uint8_t> row(TIFFScanlineSize(tif));
+    for (uint32_t y = 0; y < h; ++y) {
+      if (TIFFReadScanline(tif, row.data(), y) < 0) { ok = false; break; }
+      to_gray(row.data(), out.data.data() + (size_t)y * w, w);
+    }
+  }
+  TIFFClose(tif);
+  out.ok = ok;
   return out;
 }
 
@@ -147,30 +229,40 @@ Plane decode_file(const char* path) {
     return out;
   }
   rewind(f);
-  if (magic[0] == 0x89 && magic[1] == 'P')
+  if (magic[0] == 0x89 && magic[1] == 'P') {
     out = decode_png(f);
-  else if (magic[0] == 0xFF && magic[1] == 0xD8)
+    fclose(f);
+  } else if (magic[0] == 0xFF && magic[1] == 0xD8) {
     out = decode_jpeg(f);
-  fclose(f);
+    fclose(f);
+  } else if ((magic[0] == 'I' && magic[1] == 'I' && magic[2] == 42) ||
+             (magic[0] == 'M' && magic[1] == 'M' && magic[3] == 42)) {
+    fclose(f);  // libtiff opens by path
+    out = decode_tiff(path);
+  } else {
+    fclose(f);
+  }
   return out;
 }
 
-// bilinear resize (half-pixel centers), src (h,w) -> dst (th,tw)
-void resize_bilinear(const float* src, int h, int w, float* dst, int th, int tw,
-                     float scale) {
-  if (h == th && w == tw) {
+// bilinear resample (half-pixel centers) of a virtual (vh, vw) resize of src,
+// reading only the window starting at (oy, ox) of size (th, tw) — i.e.
+// Resize(vh, vw) followed by a crop, without materializing the resize.
+void resize_bilinear_window(const float* src, int h, int w, float* dst, int th,
+                            int tw, int vh, int vw, int oy, int ox, float scale) {
+  if (h == vh && w == vw && oy == 0 && ox == 0 && th == vh && tw == vw) {
     for (size_t i = 0; i < (size_t)th * tw; ++i) dst[i] = src[i] * scale;
     return;
   }
-  const float sy = (float)h / th, sx = (float)w / tw;
+  const float sy = (float)h / vh, sx = (float)w / vw;
   for (int y = 0; y < th; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
+    float fy = (y + oy + 0.5f) * sy - 0.5f;
     int y0 = (int)std::floor(fy);
     float wy = fy - y0;
     int y1 = std::min(y0 + 1, h - 1);
     y0 = std::max(y0, 0);
     for (int x = 0; x < tw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
+      float fx = (x + ox + 0.5f) * sx - 0.5f;
       int x0 = (int)std::floor(fx);
       float wx = fx - x0;
       int x1 = std::min(x0 + 1, w - 1);
@@ -181,6 +273,42 @@ void resize_bilinear(const float* src, int h, int w, float* dst, int th, int tw,
           ((v00 * (1 - wx) + v01 * wx) * (1 - wy) + (v10 * (1 - wx) + v11 * wx) * wy) *
           scale;
     }
+  }
+}
+
+// plain square resize (the legacy / training path)
+void resize_bilinear(const float* src, int h, int w, float* dst, int th, int tw,
+                     float scale) {
+  resize_bilinear_window(src, h, w, dst, th, tw, th, tw, 0, 0, scale);
+}
+
+float plane_norm(const Plane& p) {
+  if (p.depth == 16) return 1.0f / 65535.0f;
+  if (p.depth == 32) return 1.0f;  // float TIFF assumed already scaled
+  return 1.0f / 255.0f;
+}
+
+// resize_mode semantics shared by the batch entry points
+void emit_plane(const Plane& p, float* dst, int th, int tw, int resize_mode,
+                int resize_size, float scale) {
+  if (resize_mode == 1) {  // A.Resize(square) -> CenterCrop (albumentations val)
+    int v = std::max(resize_size, 1);
+    resize_bilinear_window(p.data.data(), p.h, p.w, dst, th, tw, v, v,
+                           (v - th) / 2, (v - tw) / 2, scale);
+  } else if (resize_mode == 2) {  // Resize(shorter) -> CenterCrop (torchvision val)
+    int v = std::max(resize_size, 1);
+    int vh, vw;
+    if (p.h <= p.w) {
+      vh = v;
+      vw = std::max(1, (int)std::lround((double)p.w * v / p.h));
+    } else {
+      vw = v;
+      vh = std::max(1, (int)std::lround((double)p.h * v / p.w));
+    }
+    resize_bilinear_window(p.data.data(), p.h, p.w, dst, th, tw, vh, vw,
+                           (vh - th) / 2, (vw - tw) / 2, scale);
+  } else {
+    resize_bilinear(p.data.data(), p.h, p.w, dst, th, tw, scale);
   }
 }
 
@@ -204,15 +332,38 @@ int chada_decode_plane(const char* path, float* out, long out_cap, int* w, int* 
   return 0;
 }
 
+// Raw integer decode: writes u8 or u16 (little-endian) pixels into out and
+// reports the bit depth — the 1-2 bytes/pixel host->device transfer path
+// (on-device normalization). 32f TIFF is not raw-representable -> -3.
+int chada_decode_plane_raw(const char* path, uint8_t* out, long out_cap_bytes,
+                           int* w, int* h, int* depth) {
+  Plane p = decode_file(path);
+  if (!p.ok) return -1;
+  *w = p.w;
+  *h = p.h;
+  *depth = p.depth;
+  if (p.depth == 32) return -3;
+  const long need = (long)p.data.size() * (p.depth / 8);
+  if (need > out_cap_bytes) return -2;
+  if (p.depth == 16) {
+    uint16_t* o = reinterpret_cast<uint16_t*>(out);
+    for (size_t i = 0; i < p.data.size(); ++i) o[i] = (uint16_t)p.data[i];
+  } else {
+    for (size_t i = 0; i < p.data.size(); ++i) out[i] = (uint8_t)p.data[i];
+  }
+  return 0;
+}
+
 // Decode + resize + scale a whole batch into a dense (B, C_max, H, W) float32
 // buffer (padded channel planes left untouched — caller zero-fills).
 //   paths:   flat array of C-string pointers, grouped per image
 //   offsets: per-image start index into paths (len B+1)
 //   counts:  out (B,) actual channel counts (min(cap, files))
 // Returns number of failed planes (0 == all good).
-int chada_load_dense_batch(const char** paths, const long* offsets, int batch,
-                           int max_channels, int th, int tw, float* out,
-                           int* counts, int num_threads, float scale) {
+int chada_load_dense_batch_v2(const char** paths, const long* offsets, int batch,
+                              int max_channels, int th, int tw, float* out,
+                              int* counts, int num_threads, float scale,
+                              int resize_mode, int resize_size, int normalize) {
   std::atomic<int> failures{0};
   std::atomic<int> next{0};
 
@@ -231,7 +382,8 @@ int chada_load_dense_batch(const char** paths, const long* offsets, int batch,
           std::memset(dst, 0, (size_t)th * tw * sizeof(float));
           continue;
         }
-        resize_bilinear(p.data.data(), p.h, p.w, dst, th, tw, scale);
+        float sc = scale * (normalize ? plane_norm(p) : 1.0f);
+        emit_plane(p, dst, th, tw, resize_mode, resize_size, sc);
       }
     }
   };
@@ -242,6 +394,14 @@ int chada_load_dense_batch(const char** paths, const long* offsets, int batch,
   for (int t = 0; t < nt; ++t) threads.emplace_back(work);
   for (auto& t : threads) t.join();
   return failures.load();
+}
+
+// legacy entry point: square resize, raw scale only
+int chada_load_dense_batch(const char** paths, const long* offsets, int batch,
+                           int max_channels, int th, int tw, float* out,
+                           int* counts, int num_threads, float scale) {
+  return chada_load_dense_batch_v2(paths, offsets, batch, max_channels, th, tw,
+                                   out, counts, num_threads, scale, 0, 0, 0);
 }
 
 }  // extern "C"

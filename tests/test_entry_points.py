@@ -207,3 +207,102 @@ def test_main_attn_plain_vit(tmp_path, monkeypatch):
         f"image_path={img_path}", "output_dir=attn_vit", "name=attn-vit",
     ])
     assert (tmp_path / "attn_vit" / "attn-mean.png").exists()
+
+
+def test_mid_epoch_preemption_resume_exact(tmp_path, monkeypatch):
+    """Kill the loop mid-epoch, resume, and land on EXACTLY the metrics of an
+    uninterrupted run (deterministic loader order + step-indexed rng)."""
+    monkeypatch.chdir(tmp_path)
+    from chadavit_tpu.cli import apply_overrides
+    from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
+    from chadavit_tpu.train.loop import run_dino_pretrain
+
+    def make_cfg(ckpt_dir):
+        cfg = load_yaml(os.path.join(SMOKE, "dino_synthetic.yaml"))
+        apply_overrides(cfg, [
+            "checkpoint.enabled=true", "auto_resume.enabled=true",
+            f"checkpoint.dir={ckpt_dir}", "data.size=32", "max_epochs=2",
+            "device_augmentations=true",
+        ])
+        return parse_pretrain_cfg(cfg)
+
+    # uninterrupted reference run (own checkpoint dir so B can't resume from it)
+    full = run_dino_pretrain(make_cfg(f"{tmp_path}/full"))
+
+    # interrupted run: stop after 3 steps (mid-epoch: 4 steps/epoch), resume
+    run_dino_pretrain(make_cfg(f"{tmp_path}/pre"), max_steps=3)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        resumed = run_dino_pretrain(make_cfg(f"{tmp_path}/pre"))
+    assert "auto-resumed" in buf.getvalue() and "step 3" in buf.getvalue()
+    assert resumed["dino_loss"] == pytest.approx(full["dino_loss"], abs=1e-5), (
+        resumed["dino_loss"], full["dino_loss"])
+
+
+def test_sigusr1_checkpoints_and_exits(tmp_path, monkeypatch):
+    """SIGUSR1 (the reference's SLURM requeue signal) checkpoints at the
+    current step and exits the loop cleanly."""
+    monkeypatch.chdir(tmp_path)
+    import os as _os
+    import signal
+    import threading
+
+    from chadavit_tpu.cli import apply_overrides
+    from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
+    from chadavit_tpu.train.loop import run_dino_pretrain
+
+    cfg = load_yaml(os.path.join(SMOKE, "dino_synthetic.yaml"))
+    apply_overrides(cfg, [
+        "checkpoint.enabled=true", f"checkpoint.dir={tmp_path}/ckpts",
+        "data.size=32", "max_epochs=50",
+    ])
+    cfg = parse_pretrain_cfg(cfg)
+
+    timer = threading.Timer(1.0, lambda: _os.kill(_os.getpid(), signal.SIGUSR1))
+    timer.start()
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_dino_pretrain(cfg)  # returns early on the signal, not after 50 epochs
+    timer.cancel()
+    assert "preemption signal" in buf.getvalue()
+    runs = list((tmp_path / "ckpts" / "dino").iterdir())
+    step_ckpts = [p for p in runs[0].iterdir() if "-step=" in p.name]
+    assert step_ckpts, "no mid-epoch step checkpoint written"
+
+
+def test_auto_umap_training_callback(tmp_path, monkeypatch):
+    """auto_umap.enabled writes umap_ep={N}.png into the run dir at each
+    validation epoch (reference AutoUMAP callback)."""
+    monkeypatch.chdir(tmp_path)
+    from chadavit_tpu.cli import apply_overrides
+    from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
+    from chadavit_tpu.train.loop import run_dino_pretrain
+
+    cfg = load_yaml(os.path.join(SMOKE, "dino_synthetic.yaml"))
+    apply_overrides(cfg, [
+        "checkpoint.enabled=true", f"checkpoint.dir={tmp_path}/ckpts",
+        "data.size=32", "max_epochs=1", "auto_umap.enabled=true",
+    ])
+    run_dino_pretrain(parse_pretrain_cfg(cfg))
+    runs = list((tmp_path / "ckpts" / "dino").iterdir())
+    pngs = list(runs[0].glob("umap_ep=*.png"))
+    assert pngs, "AutoUMAP produced no figure"
+
+
+def test_common_compound_overlay(tmp_path):
+    """plot_common_compounds colors only compounds shared by both datasets."""
+    from chadavit_tpu.utils.auto_umap import plot_common_compounds
+
+    rng = np.random.default_rng(0)
+    emb = rng.random((40, 2)).astype(np.float32)
+    dataset_idx = np.array([0] * 20 + [1] * 20)
+    compound_idx = np.concatenate([np.arange(20) % 5, np.arange(20) % 7])
+    base = str(tmp_path / "common")
+    plot_common_compounds(emb, dataset_idx, compound_idx, base)
+    assert os.path.exists(base + ".png")

@@ -121,3 +121,96 @@ def test_prepare_data_native_path(tmp_path):
     batches = list(tl)
     assert batches[0]["images"].shape == (3, 2, 8, 8)
     assert sum(len(b["labels"]) for b in batches) == 6
+
+
+@pytest.fixture(scope="module")
+def tiff_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("tiffs")
+    rng = np.random.default_rng(1)
+    files = {}
+    a16 = (rng.random((28, 36)) * 65535).astype(np.uint16)
+    Image.fromarray(a16).save(d / "gray16.tif")
+    files["gray16.tif"] = a16
+    a8 = (rng.random((20, 24)) * 255).astype(np.uint8)
+    Image.fromarray(a8).save(d / "gray8.tif")
+    files["gray8.tif"] = a8
+    return d, files
+
+
+def test_decode_tiff_16bit_parity(tiff_dir):
+    """Native 16-bit TIFF decode matches the raw pixels (the reference decodes
+    TIFF via tifffile/cv2 in the hot path, misc.py:465-478)."""
+    d, files = tiff_dir
+    for name, want in files.items():
+        got = native.decode_plane(str(d / name))
+        np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_decode_plane_raw_dtypes(tiff_dir, image_dir):
+    d, files = tiff_dir
+    got16 = native.decode_plane_raw(str(d / "gray16.tif"))
+    assert got16.dtype == np.uint16
+    np.testing.assert_array_equal(got16, files["gray16.tif"])
+    got8 = native.decode_plane_raw(str(d / "gray8.tif"))
+    assert got8.dtype == np.uint8
+    np.testing.assert_array_equal(got8, files["gray8.tif"])
+    d2, files2 = image_dir
+    gotp = native.decode_plane_raw(str(d2 / "gray8.png"))
+    assert gotp.dtype == np.uint8
+    np.testing.assert_array_equal(gotp, files2["gray8.png"].astype(np.uint8))
+
+
+def test_dense_batch_eval_modes(tiff_dir):
+    """resize_mode 1/2 reproduce Resize->CenterCrop vs a numpy reference, and
+    normalize maps 16-bit planes into [0,1]."""
+    d, files = tiff_dir
+    paths = [[str(d / "gray16.tif")]]
+
+    def np_resize(img, th, tw, vh, vw, oy, ox):
+        sy, sx = img.shape[0] / vh, img.shape[1] / vw
+        out = np.empty((th, tw), np.float32)
+        for y in range(th):
+            fy = (y + oy + 0.5) * sy - 0.5
+            y0 = int(np.floor(fy)); wy = fy - y0
+            y1 = min(y0 + 1, img.shape[0] - 1); y0 = max(y0, 0)
+            for x in range(tw):
+                fx = (x + ox + 0.5) * sx - 0.5
+                x0 = int(np.floor(fx)); wx = fx - x0
+                x1 = min(x0 + 1, img.shape[1] - 1); x0 = max(x0, 0)
+                out[y, x] = ((img[y0, x0] * (1 - wx) + img[y0, x1] * wx) * (1 - wy)
+                             + (img[y1, x0] * (1 - wx) + img[y1, x1] * wx) * wy)
+        return out
+
+    src = files["gray16.tif"].astype(np.float32)
+    # mode 1: square resize to 24 then center crop 16
+    out, counts = native.load_dense_batch(paths, 1, 16, 16, resize_mode=1,
+                                          resize_size=24, normalize=True)
+    want = np_resize(src, 16, 16, 24, 24, 4, 4) / 65535.0
+    np.testing.assert_allclose(out[0, 0], want, rtol=1e-4, atol=1e-5)
+    assert counts[0] == 1
+    assert out.max() <= 1.0
+
+    # mode 2: shorter side (28) -> 24 keeps aspect: virtual (24, 31)
+    out2, _ = native.load_dense_batch(paths, 1, 16, 16, resize_mode=2,
+                                      resize_size=24, normalize=True)
+    vw = int(round(36 * 24 / 28))
+    want2 = np_resize(src, 16, 16, 24, vw, (24 - 16) // 2, (vw - 16) // 2) / 65535.0
+    np.testing.assert_allclose(out2[0, 0], want2, rtol=1e-4, atol=1e-5)
+
+
+def test_imread_tiff_and_unit_scale(tiff_dir):
+    """The python decode path returns [0,1] floats for any bit depth, and raw
+    mode keeps native integers."""
+    from chadavit_tpu.data.datasets import load_channel_stack
+
+    d, files = tiff_dir
+    paths = [str(d / "gray16.tif"), str(d / "gray8.tif")]
+    # different sizes -> stack per-plane: use same-size planes only
+    img = load_channel_stack([paths[0]])
+    assert img.dtype == np.float32 and img.max() <= 1.0
+    np.testing.assert_allclose(img[:, :, 0], files["gray16.tif"] / 65535.0, rtol=1e-6)
+    raw = load_channel_stack([paths[0]], raw=True)
+    assert raw.dtype == np.uint16
+    np.testing.assert_array_equal(raw[:, :, 0], files["gray16.tif"])

@@ -190,3 +190,37 @@ def test_tp_shards_params_and_optimizer_state():
     # substantial (not necessarily exactly 2x) per-device reduction
     assert p_tp < 0.75 * p_dp, (p_tp, p_dp)
     assert o_tp < 0.75 * o_dp, (o_tp, o_dp)
+
+
+def test_online_classifier_learns_and_leaves_dino_unchanged():
+    """Labeled non-mixed pretrain: the online classifier (detached feats, own
+    param group — reference base.py:233,561-563) climbs above chance, while
+    backbone/head updates are IDENTICAL to a run without the classifier."""
+    base = dict(TINY, optimizer="sgd", lr=0.05, max_epochs=40,
+                optimizer_kwargs={"momentum": 0.9})  # schedule spans the test
+    spec_off = DinoPretrainSpec(**base)
+    spec_on = DinoPretrainSpec(**base, num_classes=3, online_classifier=True,
+                               momentum_classifier=True, classifier_lr=0.5)
+
+    mesh = make_mesh(n_model=1, devices=jax.devices()[:1])
+    batch_on = synthetic_dino_batch(spec_on, batch_size=16, seed=3)
+    batch_off = {k: v for k, v in batch_on.items() if k != "labels"}
+
+    s_off, step_off, _, _ = build_dino(spec_off, mesh=mesh, rng=jax.random.PRNGKey(0))
+    s_on, step_on, _, _ = build_dino(spec_on, mesh=mesh, rng=jax.random.PRNGKey(0))
+
+    accs = []
+    for _ in range(40):
+        s_off, m_off = step_off(s_off, batch_off)
+        s_on, m_on = step_on(s_on, batch_on)
+        accs.append(float(m_on["train_acc1"]))
+    assert "momentum_acc1" in m_on
+
+    # classifier learned the (fixed) batch labels
+    assert accs[-1] > 66.0, accs[-5:]
+    # DINO dynamics untouched: backbone params identical with/without classifier
+    b_off = jax.tree.leaves(s_off.student["backbone"])
+    b_on = jax.tree.leaves(s_on.student["backbone"])
+    for a, b in zip(b_off, b_on):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m_on["dino_loss"]) == pytest.approx(float(m_off["dino_loss"]), abs=1e-6)
