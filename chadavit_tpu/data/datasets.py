@@ -348,8 +348,15 @@ class ImageFolderDataset:
 
 
 class H5Dataset:
-    """HDF5-backed dataset (reference ``custom_datasets.py:39-152``): one file
-    with ``images`` (N, H, W, C) and optional ``labels`` datasets."""
+    """HDF5-backed dataset supporting BOTH layouts:
+
+    - the reference layout (``custom_datasets.py:39-152``): one group per
+      class, each member an ENCODED image (PNG/JPEG bytes); class index =
+      position in the sorted class-name list, labels derived from groups;
+    - a dense layout: ``images`` (N, H, W[, C]) + optional ``labels`` arrays.
+
+    Files are opened lazily per worker (h5py handles are not fork/thread
+    safe across loader workers, as in the reference)."""
 
     def __init__(self, h5_path: str, transform: Optional[Callable] = None):
         import h5py
@@ -358,8 +365,18 @@ class H5Dataset:
         self.transform = transform
         self._h5: Optional[object] = None
         with h5py.File(h5_path, "r") as f:
-            self._len = len(f["images"])
-            self.has_labels = "labels" in f
+            if "images" in f:
+                self.layout = "dense"
+                self._len = len(f["images"])
+                self.has_labels = "labels" in f
+            else:
+                self.layout = "grouped"
+                self.classes = sorted(f.keys())
+                self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+                self._data = [(c, name, self.class_to_idx[c])
+                              for c in self.classes for name in sorted(f[c].keys())]
+                self._len = len(self._data)
+                self.has_labels = True
 
     def __len__(self):
         return self._len
@@ -369,8 +386,20 @@ class H5Dataset:
 
         if self._h5 is None:  # open lazily per worker
             self._h5 = h5py.File(self.h5_path, "r")
-        img = np.asarray(self._h5["images"][index], np.float32)
-        label = int(self._h5["labels"][index]) if self.has_labels else -1
+        if self.layout == "dense":
+            img = np.asarray(self._h5["images"][index], np.float32)
+            label = int(self._h5["labels"][index]) if self.has_labels else -1
+        else:
+            import io
+
+            from PIL import Image
+
+            cls, name, label = self._data[index]
+            raw = np.asarray(self._h5[cls][name])
+            img = np.asarray(Image.open(io.BytesIO(raw.tobytes())).convert("RGB"),
+                             np.float32)
+        if img.ndim == 2:
+            img = img[:, :, None]
         if self.transform is not None:
             img = self.transform(img)
         return img, label

@@ -50,9 +50,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from chadavit_tpu.ops.attention import masked_multihead_attention
+from chadavit_tpu.ops.layernorm import layernorm
 
 
 Array = jax.Array
+
+
+class LNParams(nn.Module):
+    """LayerNorm parameters only (scale/bias with flax's LayerNorm tree
+    naming), applied through :func:`chadavit_tpu.ops.layernorm.layernorm` —
+    the fused Pallas kernel on TPU, flax-equivalent XLA math elsewhere."""
+
+    dim: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
+        return scale, bias
 
 
 def channel_padding_mask(channel_counts: Array, max_channels: int, num_patches: int) -> Array:
@@ -137,6 +153,7 @@ class EncoderLayer(nn.Module):
     param_dtype: Any = jnp.float32
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    ln_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -149,8 +166,12 @@ class EncoderLayer(nn.Module):
         valid_len: Optional[Array] = None,
     ) -> Array:
         d = self.embed_dim
-        norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps, param_dtype=self.param_dtype, dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps, param_dtype=self.param_dtype, dtype=self.dtype, name="norm2")
+        n1_scale, n1_bias = LNParams(d, self.param_dtype, name="norm1")()
+        n2_scale, n2_bias = LNParams(d, self.param_dtype, name="norm2")()
+
+        def ln(v, scale, bias, residual=None):
+            return layernorm(v, scale, bias, self.layer_norm_eps,
+                             impl=self.ln_impl, residual=residual)
 
         # --- self-attention block (packed QKV, as in torch MultiheadAttention) ---
         in_proj_kernel = self.param(
@@ -162,7 +183,7 @@ class EncoderLayer(nn.Module):
         )
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (d,), self.param_dtype)
 
-        h = norm1(x)
+        h = ln(x, n1_scale, n1_bias)
         qkv = jnp.dot(h, in_proj_kernel.astype(self.dtype), preferred_element_type=self.dtype)
         qkv = qkv + in_proj_bias.astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -185,8 +206,9 @@ class EncoderLayer(nn.Module):
         if self.dropout_rate > 0.0:
             attn_out = nn.Dropout(rate=self.dropout_rate, name="dropout1")(attn_out, deterministic=deterministic)
 
-        # post-norm with double norm1 (reference chada_vit.py:99)
-        x = norm1(x + attn_out)
+        # post-norm with double norm1 (reference chada_vit.py:99); the
+        # residual add is fused into the LN kernel
+        x = ln(attn_out, n1_scale, n1_bias, residual=x)
 
         # --- feed-forward block: Linear -> ReLU -> Linear (torch default activation) ---
         h = nn.Dense(self.ffn_dim, param_dtype=self.param_dtype, dtype=self.dtype, name="linear1")(x)
@@ -197,7 +219,7 @@ class EncoderLayer(nn.Module):
         if self.dropout_rate > 0.0:
             h = nn.Dropout(rate=self.dropout_rate, name="dropout2")(h, deterministic=deterministic)
 
-        x = norm2(x + h)
+        x = ln(h, n2_scale, n2_bias, residual=x)
         return x
 
 
@@ -223,6 +245,7 @@ class ChAdaViT(nn.Module):
     param_dtype: Any = jnp.float32
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    ln_impl: str = "auto"
     # pad the token sequence (1 + C_max*N = 1961 canonically) up to a multiple
     # of this so every matmul/kernel tiles cleanly on (8,128) hardware tiles;
     # extra positions are masked and sliced off. 0 disables.
@@ -266,13 +289,16 @@ class ChAdaViT(nn.Module):
                 param_dtype=self.param_dtype,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                ln_impl=self.ln_impl,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
         ]
-        self.norm = nn.LayerNorm(
-            epsilon=self.final_norm_eps, param_dtype=self.param_dtype, dtype=self.dtype, name="norm"
-        )
+        self.norm_params = LNParams(self.embed_dim, self.param_dtype, name="norm")
+
+    def norm(self, x: Array) -> Array:
+        scale, bias = self.norm_params()
+        return layernorm(x, scale, bias, self.final_norm_eps, impl=self.ln_impl)
 
     def _patch_pos_embed(self, w: int, h: int) -> Array:
         """Positional embeddings for the patch grid of a (w, h) input.
@@ -321,7 +347,10 @@ class ChAdaViT(nn.Module):
         n = (h // self.patch_size) * (w // self.patch_size)
         mask = channel_padding_mask(channel_counts, c, n)  # (B, 1 + C*N)
 
-        if self.tokenizer_impl == "pallas" and add_channel_tokens:
+        # during init the params don't exist yet (and patch_embed's must be
+        # CREATED by calling the submodule), so the XLA path runs then
+        if (self.tokenizer_impl == "pallas" and add_channel_tokens
+                and not self.is_initializing()):
             from chadavit_tpu.ops.tokenizer import fused_tokenize
 
             tokens = fused_tokenize(
@@ -454,6 +483,7 @@ def chada_vit(**kwargs) -> ChAdaViT:
         dtype=kwargs.get("dtype", jnp.float32),
         param_dtype=kwargs.get("param_dtype", jnp.float32),
         attn_impl=kwargs.get("attn_impl", "auto"),
+        ln_impl=kwargs.get("ln_impl", "auto"),
         seq_pad_multiple=kwargs.get("seq_pad_multiple", 256),
         patch_embed_conv=kwargs.get("patch_embed_conv", True),
         tokenizer_impl=kwargs.get("tokenizer_impl", "xla"),

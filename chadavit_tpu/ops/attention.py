@@ -91,8 +91,11 @@ def masked_multihead_attention(
         use_pallas = _on_tpu() and not return_weights and valid_len is not None
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas" and not return_weights and valid_len is not None:
-        from chadavit_tpu.ops.flash_attention import prefix_flash_attention
+        import os
 
-        out = prefix_flash_attention(q, k, v, valid_len, num_heads)
+        from chadavit_tpu.ops.flash_attention import DEFAULT_BLOCK, prefix_flash_attention
+
+        block = int(os.environ.get("CHADAVIT_FLASH_BLOCK", DEFAULT_BLOCK))
+        out = prefix_flash_attention(q, k, v, valid_len, num_heads, block)
         return out, None
     return xla_masked_attention(q, k, v, key_padding_mask, num_heads, return_weights)

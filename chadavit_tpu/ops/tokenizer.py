@@ -14,6 +14,13 @@ single write of the ``(N, D)`` block.
 The CLS token is prepended outside the kernel (one row). Opt-in via
 ``ChAdaViT(tokenizer_impl="pallas")``; the XLA conv path remains the default
 and the parity reference.
+
+KNOWN LIMITATION: the in-VMEM unfold is a lane-dimension reshape
+(``(224,224) -> (14,16,14,16)``) that current Mosaic cannot lower
+("infer-vector-layout: unsupported shape cast"), so this kernel runs in
+interpret mode only; on real TPUs the XLA conv emitter path (which measures
+~16 ms/step at the canonical config, ~7%) is used. Revisit when Mosaic grows
+strided lane slicing or lane reshapes.
 """
 
 from __future__ import annotations

@@ -145,9 +145,19 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     steps_per_epoch = max(len(loader), 1)
     spec = spec_from_cfg(cfg, steps_per_epoch)
 
-    # mesh: data parallel over all devices, optionally x-way tensor parallel
-    # (model_parallel: N in the config; params shard per parallel/mesh.py rules)
-    mesh = make_mesh(n_model=int(cfg.get("model_parallel", 1) or 1))
+    # mesh: data parallel over the configured devices (the reference's
+    # `devices: [0,2]` key selects accelerator indices), optionally x-way
+    # tensor parallel (model_parallel: N; params shard per parallel/mesh.py)
+    devices = None
+    cfg_devices = cfg.get("devices", None)
+    if isinstance(cfg_devices, (list, tuple)):
+        all_dev = jax.devices()
+        wanted = [int(d) for d in cfg_devices]
+        if all(0 <= d < len(all_dev) for d in wanted):
+            devices = [all_dev[d] for d in wanted]
+        else:
+            print(f"devices={cfg_devices} exceeds visible {len(all_dev)}; using all")
+    mesh = make_mesh(n_model=int(cfg.get("model_parallel", 1) or 1), devices=devices)
     state, train_step, model, head = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(seed))
 
     from chadavit_tpu.utils.misc import pretty_param_summary

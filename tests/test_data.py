@@ -112,7 +112,8 @@ def test_csv_manifest_dataset(tmp_path):
     img, label = ds[2]
     assert img.shape == (8, 8, 3)  # HWC with 3 channels
     assert label == -1  # unlabeled pretrain set
-    assert img[0, 0, 1] == 21.0
+    # decode normalizes raw uint8 values to [0,1] by dtype max
+    np.testing.assert_allclose(img[0, 0, 1], 21.0 / 255.0, rtol=1e-6)
 
 
 def test_image_folder_dataset(tmp_path):
@@ -327,3 +328,57 @@ def test_auto_augment_train_pipeline():
     out = t_train(img, rng)
     assert out.shape == (3, 64, 64)
     assert np.isfinite(out).all()
+
+
+def test_h5_dataset_reference_layout(tmp_path):
+    """Round-trip against the reference's H5 layout: class groups holding
+    ENCODED image bytes (custom_datasets.py:39-152); labels from sorted class
+    names."""
+    h5py = pytest.importorskip("h5py")
+    import io as _io
+
+    from PIL import Image
+
+    from chadavit_tpu.data.datasets import H5Dataset
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "ref_layout.h5"
+    imgs = {}
+    with h5py.File(path, "w") as f:
+        for ci, cls in enumerate(["catA", "catB"]):
+            g = f.create_group(cls)
+            for k in range(3):
+                arr = (rng.random((12, 14, 3)) * 255).astype(np.uint8)
+                buf = _io.BytesIO()
+                Image.fromarray(arr).save(buf, format="PNG")
+                g.create_dataset(f"img{k}.png",
+                                 data=np.frombuffer(buf.getvalue(), np.uint8))
+                imgs[(cls, f"img{k}.png")] = arr
+
+    ds = H5Dataset(str(path))
+    assert len(ds) == 6
+    assert ds.classes == ["catA", "catB"]
+    img0, label0 = ds[0]
+    assert label0 == 0 and img0.shape == (12, 14, 3)
+    np.testing.assert_array_equal(img0.astype(np.uint8), imgs[("catA", "img0.png")])
+    img5, label5 = ds[5]
+    assert label5 == 1
+    np.testing.assert_array_equal(img5.astype(np.uint8), imgs[("catB", "img2.png")])
+
+
+def test_h5_dataset_dense_layout(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from chadavit_tpu.data.datasets import H5Dataset
+
+    rng = np.random.default_rng(1)
+    path = tmp_path / "dense.h5"
+    images = rng.random((5, 8, 8, 2)).astype(np.float32)
+    labels = np.arange(5) % 3
+    with h5py.File(path, "w") as f:
+        f.create_dataset("images", data=images)
+        f.create_dataset("labels", data=labels)
+    ds = H5Dataset(str(path))
+    assert len(ds) == 5
+    img, lab = ds[3]
+    np.testing.assert_allclose(img, images[3])
+    assert lab == 0

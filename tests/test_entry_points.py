@@ -68,10 +68,13 @@ def test_main_attn_smoke(tmp_path, monkeypatch):
     main_attn.main([
         "--config-path", SMOKE, "--config-name", "knn_synthetic",
         f"image_path={img_path}", "output_dir=attn_out", "patch_size=16",
-        "name=attn-smoke",
+        "name=attn-smoke", "threshold=0.6",
     ])
     assert (tmp_path / "attn_out" / "attn-mean.png").exists()
     assert (tmp_path / "attn_out" / "attn-head0.png").exists()
+    # masked-overlay exports (reference main_attn.py:207-265)
+    assert (tmp_path / "attn_out" / "img.png").exists()
+    assert (tmp_path / "attn_out" / "mask_th0.6_head0.png").exists()
 
 
 def test_main_umap_smoke(tmp_path, monkeypatch):

@@ -196,11 +196,12 @@ def test_online_classifier_learns_and_leaves_dino_unchanged():
     """Labeled non-mixed pretrain: the online classifier (detached feats, own
     param group — reference base.py:233,561-563) climbs above chance, while
     backbone/head updates are IDENTICAL to a run without the classifier."""
-    base = dict(TINY, optimizer="sgd", lr=0.05, max_epochs=40,
-                optimizer_kwargs={"momentum": 0.9})  # schedule spans the test
+    # slow backbone (stable features) + fast classifier; schedule spans the test
+    base = dict(TINY, optimizer="sgd", lr=1e-4, max_epochs=40,
+                optimizer_kwargs={"momentum": 0.9})
     spec_off = DinoPretrainSpec(**base)
     spec_on = DinoPretrainSpec(**base, num_classes=3, online_classifier=True,
-                               momentum_classifier=True, classifier_lr=0.5)
+                               momentum_classifier=True, classifier_lr=0.1)
 
     mesh = make_mesh(n_model=1, devices=jax.devices()[:1])
     batch_on = synthetic_dino_batch(spec_on, batch_size=16, seed=3)
@@ -210,7 +211,7 @@ def test_online_classifier_learns_and_leaves_dino_unchanged():
     s_on, step_on, _, _ = build_dino(spec_on, mesh=mesh, rng=jax.random.PRNGKey(0))
 
     accs = []
-    for _ in range(40):
+    for _ in range(60):
         s_off, m_off = step_off(s_off, batch_off)
         s_on, m_on = step_on(s_on, batch_on)
         accs.append(float(m_on["train_acc1"]))
