@@ -51,3 +51,36 @@ def multistep_lr(step: Array, base_lr: float, decay_steps, gamma: float = 0.1) -
     for s in decay_steps:
         factor = factor * jnp.where(step >= s, gamma, 1.0)
     return base_lr * factor
+
+
+def exponential_lr(step: Array, base_lr: float, gamma: float = 0.95) -> Array:
+    """ExponentialLR equivalent (reference ``base.py`` registry; per-step)."""
+    step = jnp.asarray(step, jnp.float32)
+    return base_lr * jnp.power(gamma, step)
+
+
+def make_lr_schedule(name: str, base_lr: float, total_steps: int,
+                     warmup_steps: int = 0, warmup_start_lr: float = 0.0,
+                     min_lr: float = 0.0, decay_steps=(), gamma: float = 0.1):
+    """Schedule factory for the reference's scheduler names
+    (``base.py:460-492``): warmup_cosine / step / exponential / none.
+    ``reduce`` (ReduceLROnPlateau) is metric-driven and does not fit a
+    closed-form step schedule; configs using it should switch to
+    warmup_cosine (no shipped reference config selects it)."""
+    if name in ("warmup_cosine", None):
+        def sched(step):
+            return warmup_cosine_lr(step, base_lr, total_steps, warmup_steps,
+                                    warmup_start_lr, min_lr)
+    elif name == "step":
+        def sched(step):
+            return multistep_lr(step, base_lr, decay_steps, gamma)
+    elif name == "exponential":
+        def sched(step):
+            return exponential_lr(step, base_lr, gamma)
+    elif name == "none":
+        def sched(step):
+            return jnp.asarray(base_lr, jnp.float32)
+    else:
+        raise ValueError(f"unknown scheduler {name!r}; "
+                         "expected warmup_cosine/step/exponential/none")
+    return sched

@@ -18,14 +18,11 @@ from chadavit_tpu.eval.features import features_dim, make_feature_fn
 from chadavit_tpu.eval.metrics import classification_suite, confusion_matrix, plot_confusion_matrix
 from chadavit_tpu.eval.probe import ProbeStepConfig, make_probe_eval_step, make_probe_train_step
 from chadavit_tpu.train.optim import build_group_tx, grouped_optimizer
-from chadavit_tpu.train.schedules import warmup_cosine_lr
 from chadavit_tpu.train.state import ProbeState
 from chadavit_tpu.utils.logging import MetricLogger
 
 
 def build_probe(cfg, model, params, steps_per_epoch, task="classification"):
-    import functools
-
     bk = cfg.backbone.get("kwargs", {})
     img_channels = cfg.data.get("img_channels", dataset_img_channels(cfg.data.dataset))
     feature_fn = make_feature_fn(
@@ -43,9 +40,15 @@ def build_probe(cfg, model, params, steps_per_epoch, task="classification"):
 
     total_steps = cfg.max_epochs * steps_per_epoch
     warmup_steps = int(cfg.scheduler.warmup_epochs * steps_per_epoch)
-    mk_sched = lambda lr: functools.partial(  # noqa: E731
-        warmup_cosine_lr, base_lr=lr, total_steps=total_steps, warmup_steps=warmup_steps,
-        warmup_start_lr=cfg.scheduler.warmup_start_lr, min_lr=cfg.scheduler.min_lr)
+    from chadavit_tpu.train.schedules import make_lr_schedule
+
+    mk_sched = lambda lr: make_lr_schedule(  # noqa: E731
+        cfg.scheduler.get("name", "warmup_cosine"), lr, total_steps,
+        warmup_steps=warmup_steps, warmup_start_lr=cfg.scheduler.warmup_start_lr,
+        min_lr=cfg.scheduler.min_lr,
+        decay_steps=[int(s * steps_per_epoch)
+                     for s in (cfg.scheduler.get("lr_decay_steps") or [])],
+        gamma=cfg.scheduler.get("gamma", 0.1))
     backbone_tx = build_group_tx(cfg.optimizer.name, mk_sched(cfg.optimizer.lr),
                                  cfg.optimizer.weight_decay, dict(cfg.optimizer.get("kwargs", {})),
                                  cfg.optimizer.get("exclude_bias_n_norm_wd", False))

@@ -160,3 +160,20 @@ def test_adam_applies_l2_weight_decay():
     st0 = tx0.init(params)
     updates0, _ = tx0.update(grads, st0, params)
     assert float(jnp.abs(updates0["w"]).max()) == 0.0
+
+
+def test_lr_schedule_factory():
+    from chadavit_tpu.train.schedules import make_lr_schedule
+
+    wc = make_lr_schedule("warmup_cosine", 1.0, 100, warmup_steps=10)
+    assert float(wc(100)) == pytest.approx(0.0, abs=1e-6)
+    st = make_lr_schedule("step", 1.0, 100, decay_steps=[10, 20], gamma=0.1)
+    assert float(st(5)) == pytest.approx(1.0)
+    assert float(st(15)) == pytest.approx(0.1)
+    assert float(st(25)) == pytest.approx(0.01)
+    ex = make_lr_schedule("exponential", 2.0, 100, gamma=0.5)
+    assert float(ex(3)) == pytest.approx(0.25)
+    none = make_lr_schedule("none", 0.3, 100)
+    assert float(none(57)) == pytest.approx(0.3)
+    with pytest.raises(ValueError):
+        make_lr_schedule("reduce", 1.0, 100)
