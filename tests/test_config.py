@@ -76,3 +76,24 @@ def test_args_json_roundtrip(tmp_path):
 
     loaded = json.loads(p.read_text())
     assert loaded["backbone"]["kwargs"]["patch_size"] == 16
+
+
+def test_b16_pod_config_parses():
+    """The ChAdaViT-B/16 pod stretch config (BASELINE plan #5) parses with
+    TP + device augmentation + bucketing + mid-epoch checkpoints enabled."""
+    import os
+
+    from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = parse_pretrain_cfg(load_yaml(
+        os.path.join(repo, "scripts", "pretrain", "dino_chada_vit_b16_pod.yaml")))
+    assert cfg.backbone.kwargs["embed_dim"] == 768
+    assert cfg.backbone.kwargs["num_heads"] == 12
+    assert cfg.get("model_parallel") == 2
+    assert cfg.get("device_augmentations") is True
+    assert cfg.get("bucket_by_channels") is True
+    assert cfg.checkpoint.step_frequency == 500
+    assert cfg.method_kwargs.num_prototypes == 65536
+    # lr scaling rule applied: 0.3 * (16 * 8 * 1) / 256
+    assert abs(cfg.optimizer.lr - 0.3 * 16 * 8 / 256) < 1e-9

@@ -74,3 +74,41 @@ def test_prefix_flash_gradients_match_xla(rng):
     for name, a, b_ in zip("qkv", g_ref, g_out):
         a, b_ = np.asarray(a), np.asarray(b_)
         np.testing.assert_allclose(b_, a, rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_prefix_flash_head_grouping(rng):
+    """Wide models (H*hd_pad > MAX_GROUP_LANES) split into head groups —
+    the ChAdaViT-B/16 path (D=768, 12 heads, hd=64 -> padded 128)."""
+    from chadavit_tpu.ops import flash_attention as fa
+
+    b, s, d, h = 2, 300, 768, 12
+    q = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    valid_len = jnp.asarray([300, 120])
+    mask = jnp.arange(s)[None, :] >= valid_len[:, None]
+    assert len(fa._head_groups(h, 128)) == 4  # 3 heads per 384-lane group
+
+    ref, _ = xla_masked_attention(q, k, v, mask, h)
+    out = prefix_flash_attention(q, k, v, valid_len, h, 256, True)
+    for i, vl in enumerate([300, 120]):
+        np.testing.assert_allclose(np.asarray(out)[i, :vl], np.asarray(ref)[i, :vl],
+                                   rtol=2e-5, atol=2e-5)
+
+    # gradients through the grouped path
+    w = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    valid_cols = ~mask
+
+    def loss_flash(q, k, v):
+        o = prefix_flash_attention(q, k, v, valid_len, h, 256, True)
+        return jnp.sum(jnp.where(valid_cols[..., None], o * w, 0.0))
+
+    def loss_xla(q, k, v):
+        o, _ = xla_masked_attention(q, k, v, mask, h)
+        return jnp.sum(jnp.where(valid_cols[..., None], o * w, 0.0))
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_ref, g_out):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
