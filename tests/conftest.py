@@ -15,10 +15,23 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; override through the config API
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: repeated tiny-model compiles across tests and
+# across runs hit the cache instead of recompiling (the entry-point smokes
+# alone cost ~10 min of XLA compiles cold)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    # function-scoped: every test gets the SAME deterministic stream regardless
+    # of which other tests ran before (a shared session generator made test
+    # numerics order-dependent — gradient-parity tolerances flaked only under
+    # the full suite)
     return np.random.default_rng(0)

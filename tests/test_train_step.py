@@ -225,3 +225,26 @@ def test_online_classifier_learns_and_leaves_dino_unchanged():
     for a, b in zip(b_off, b_on):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(m_on["dino_loss"]) == pytest.approx(float(m_off["dino_loss"]), abs=1e-6)
+
+
+def test_tp_with_grad_accumulation():
+    """TP mesh + optax.MultiSteps together: two micro-steps == one optimizer
+    step, EMA fires once, and state stays sharded + finite."""
+    spec = DinoPretrainSpec(**TINY, accumulate_grad_batches=2)
+    mesh = make_mesh(n_model=2)
+    state, step, _, _ = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(0))
+    batch = synthetic_dino_batch(spec, batch_size=8)
+
+    t0 = np.asarray(jax.tree.leaves(state.teacher)[0])
+    state, m1 = step(state, batch)          # micro-step 1: no opt step
+    t1 = np.asarray(jax.tree.leaves(state.teacher)[0])
+    np.testing.assert_array_equal(t0, t1)   # EMA not fired yet
+    state, m2 = step(state, batch)          # micro-step 2: opt step + EMA
+    t2 = np.asarray(jax.tree.leaves(state.teacher)[0])
+    assert not np.array_equal(t1, t2), "EMA must fire on the sync micro-step"
+    assert np.isfinite(float(m2["dino_loss"]))
+    # params remain sharded over the model axis after the update
+    sharded = [x for x in jax.tree.leaves(state.student)
+               if hasattr(x, "sharding") and
+               "model" in getattr(x.sharding, "spec", ()) .__repr__()]
+    assert sharded, "no student param carries a model-axis sharding"
