@@ -7,9 +7,10 @@ tokens of image ``b`` are exactly the contiguous prefix of length
 ``chada_vit.py:226-242`` pads at the end). A dense attention over the padded
 ``S = 1 + C_max * N`` sequence wastes up to ``C_max / c`` of its FLOPs.
 
-Both forward and backward iterate key blocks only up to
-``ceil(valid_len / BLOCK)`` per image, and skip *query* blocks beyond the
-valid prefix (their outputs are never consumed; their cotangents are zero).
+The forward skips *query* blocks fully beyond the valid prefix (their outputs
+are never consumed; their cotangents are zero) and the backward skips *key*
+blocks there (those keys are masked everywhere); partially-valid blocks are
+handled by masking.
 
 Outputs match the masked-softmax reference (torch ``key_padding_mask``
 semantics, reference ``chada_vit.py:105-111``): keys are masked, queries are
@@ -28,17 +29,33 @@ Layout / scheduling notes (TPU):
 - Wide models are processed in HEAD GROUPS of at most ``MAX_GROUP_LANES``
   lanes per kernel call (contiguous lane slices) to bound VMEM; the canonical
   D=192 model is a single group (zero extra copies).
+- **Full-row softmax, no online rescale.** At ChAdaViT sizes (S_pad <= 2048)
+  a whole (BQ, S_pad) f32 score tile fits in VMEM, so each q block does one
+  big score matmul, one exact softmax, one output matmul. The online-softmax
+  running max/rescale chain serialized MXU against VPU (measured 2.70 ms ->
+  1.68 ms per forward call at the canonical config from this restructure);
+  heads interleaved inside the block loop overlap head h+1's matmul with
+  head h's softmax.
 - The backward is ONE fused kernel: dq, dk, dv share a single score/softmax
-  recompute per block pair (5 matmuls per pair vs 7 for split dq/dkv kernels,
-  and q/k/v/do are read once instead of twice). dq accumulates in a VMEM
-  f32 scratch; dk/dv accumulate in the inner-loop carry. All matmuls are
-  MXU-native except the dq contraction (``ds_t^T @ k``), which contracts dim 0
-  of both operands — unavoidable in either score orientation because dq and
-  dk/dv need opposite layouts.
+  recompute per key block covering ALL queries at once (the forward's lse
+  makes the softmax exact). dq accumulates in an all-heads VMEM f32 scratch.
+  All matmuls are MXU-native except the dq contraction (``ds_t^T @ k``),
+  which contracts dim 0 of both operands — unavoidable in either score
+  orientation because dq and dk/dv need opposite layouts. Query positions
+  beyond ``vl`` self-cancel: their ``do``/``delta`` are identically zero and
+  fully-skipped q blocks stored lse=+LARGE, so ``p_t`` underflows to 0.
 - head_dim 96 (the canonical 192/2 config) is kept native (sublane-aligned);
   misaligned head dims pad to 128 lanes.
-- Online softmax in float32; the row max starts at a large negative *finite*
-  value so fully-masked in-block columns never produce NaNs.
+- Softmax in float32; masking is additive (-1e30) so masked columns
+  underflow to exactly 0 without NaNs.
+- Softmax runs in base 2 (``exp2``; the TPU VPU's native transcendental):
+  ``softmax(s*scale) == exp2(s*scale*log2e - m2) / sum`` with the running max
+  and lse kept in the base-2 domain. ``scale*log2e`` is folded into the
+  q-block load (one (BQ, hd) multiply per q block instead of a (BQ, BK) pass
+  per pair); the backward unfolds it from dq/dk at write-out. The saved lse is
+  base-2 — an internal contract between this forward and this backward.
+- Column masking uses a ``(1, BK)`` iota row broadcast through one select pass
+  (a full-tile iota + compare + select costs three).
 - lse/delta row tensors carry a small lane dim (row-major ``(S, LANES)`` from
   the forward, lane-major ``(LANES, S)`` into the backward) so their blocks
   satisfy the (8, 128) tiling rule without 128x broadcasts in HBM.
@@ -55,8 +72,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_BLOCK = 512
+DEFAULT_BLOCK = 256
 _NEG_LARGE = -1e30
+_LOG2E = 1.4426950408889634
 LANES = 8
 # max lanes (heads * padded head dim) per kernel call; bounds VMEM at
 # ~(4 inputs + 3 grads) * S_pad * MAX_GROUP_LANES * 2B + f32 scratch
@@ -66,114 +84,131 @@ MAX_GROUP_LANES = 384
 # ---------------------------------------------------------------- forward ----
 def _fwd_kernel(vl_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 block: int, n_blocks: int, num_heads: int, hd: int):
+    """Full-row softmax per q block: at ChAdaViT sizes the whole key row fits
+    in VMEM (S_pad <= 2048 -> a (BQ, S_pad) f32 score tile is <= 2 MB), so each
+    q block does ONE (BQ, hd)x(hd, S_pad) score matmul, one exact softmax pass,
+    and one (BQ, S_pad)x(S_pad, hd) output matmul — no online-softmax running
+    max/rescale chain. Heads are interleaved inside the q-block loop so head
+    h+1's score matmul (MXU) overlaps head h's softmax (VPU)."""
     b = pl.program_id(0)
     vl = vl_ref[b]
-    num_k_blocks = pl.cdiv(vl, block)
+    s_pad = n_blocks * block
+    # additive key mask row, computed once per batch element
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+    neg = jnp.where(col < vl, 0.0, _NEG_LARGE).astype(jnp.float32)
 
-    for h in range(num_heads):  # static unroll; lane slices are compile-time
-        lo = h * hd
+    def q_step(qi, _):
+        @pl.when(qi * block < vl)
+        def _valid():
+            for h in range(num_heads):  # static unroll; lane slices compile-time
+                lo = h * hd
+                # scale (and log2e for the base-2 softmax) folded into q: one
+                # (BQ, hd) multiply instead of a (BQ, S) pass on the scores
+                q = q_ref[0, pl.ds(qi * block, block), lo:lo + hd] * (scale * _LOG2E)
+                s = jax.lax.dot_general(
+                    q, k_ref[0, :, lo:lo + hd], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) + neg
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                acc = jax.lax.dot_general(
+                    p.astype(v_ref.dtype), v_ref[0, :, lo:lo + hd],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                o_ref[0, pl.ds(qi * block, block), lo:lo + hd] = (
+                    acc / l).astype(o_ref.dtype)
+                lse_ref[0, h, pl.ds(qi * block, block), :] = jnp.broadcast_to(
+                    m + jnp.log2(l), (block, LANES))
 
-        def q_step(qi, _):
-            q = q_ref[0, pl.ds(qi * block, block), lo:lo + hd]
-            bq = block
+        @pl.when(qi * block >= vl)
+        def _padded():
+            # fully-invalid q block: finite zeros (downstream LN/matmuls must
+            # never see uninitialized VMEM) and lse=+LARGE so the backward's
+            # full-row p_t = exp2(s - lse) underflows to exactly 0 there
+            o_ref[0, pl.ds(qi * block, block), :] = jnp.zeros(
+                (block, num_heads * hd), o_ref.dtype)
+            for h in range(num_heads):
+                lse_ref[0, h, pl.ds(qi * block, block), :] = jnp.full(
+                    (block, LANES), -_NEG_LARGE, jnp.float32)
 
-            def body(j, carry):
-                m_prev, l_prev, acc = carry
-                k_blk = k_ref[0, pl.ds(j * block, block), lo:lo + hd]
-                v_blk = v_ref[0, pl.ds(j * block, block), lo:lo + hd]
-                s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32) * scale
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block
-                s = jnp.where(col < vl, s, _NEG_LARGE)
+        return 0
 
-                m_cur = jnp.max(s, axis=-1, keepdims=True)
-                m_new = jnp.maximum(m_prev, m_cur)
-                p = jnp.exp(s - m_new)
-                alpha = jnp.exp(m_prev - m_new)
-                l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                acc = acc * alpha + jax.lax.dot_general(
-                    p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                return m_new, l_new, acc
-
-            m0 = jnp.full((bq, 1), _NEG_LARGE, dtype=jnp.float32)
-            l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
-            acc0 = jnp.zeros((bq, hd), dtype=jnp.float32)
-            # query blocks fully beyond the valid prefix: zero trips, zero out
-            trips = jnp.where(qi * block < vl, num_k_blocks, 0)
-            m, l, acc = jax.lax.fori_loop(0, trips, body, (m0, l0, acc0))
-
-            l_safe = jnp.where(l == 0.0, 1.0, l)
-            o_ref[0, pl.ds(qi * block, block), lo:lo + hd] = (
-                acc / l_safe).astype(o_ref.dtype)
-            lse_ref[0, h, pl.ds(qi * block, block), :] = jnp.broadcast_to(
-                m + jnp.log(l_safe), (bq, LANES))
-            return 0
-
-        jax.lax.fori_loop(0, n_blocks, q_step, 0)
+    jax.lax.fori_loop(0, n_blocks, q_step, 0)
 
 
 # ------------------------------------------------------- fused backward ----
 def _bwd_kernel(vl_ref, q_ref, k_ref, v_ref, do_ref, lse_t_ref, delta_t_ref,
                 dq_ref, dk_ref, dv_ref, dq_acc, *, scale: float, block: int,
                 n_blocks: int, num_heads: int, hd: int):
-    """Fused dQ/dK/dV: one score recompute per (key, query) block pair.
+    """Fused dQ/dK/dV, full query row per key block.
 
-    Transposed (key-major) orientation: s_t/p_t/ds_t are ``(BK, BQ)`` so the
+    Transposed (key-major) orientation: s_t/p_t/ds_t are ``(BK, S_pad)`` so the
     dv (``p_t @ do``), dp (``v @ do^T``) and dk (``ds_t @ q``) matmuls contract
     lane/sublane dims natively; the dq contribution ``ds_t^T @ k`` is the one
-    transposed contraction. dq accumulates per head into a VMEM f32 scratch
-    spanning the sequence, written out once per head.
-    """
+    transposed contraction. One score recompute per key block covers ALL
+    queries at once (no online rescale; the forward's lse makes the softmax
+    exact), and query positions beyond ``vl`` self-cancel: their cotangent
+    ``do``/``delta`` are identically zero and the forward stored lse=+LARGE
+    for fully-skipped q blocks, so ``p_t`` underflows to 0 there. Heads are
+    interleaved inside the key-block loop for MXU/VPU overlap; dq accumulates
+    into an all-heads (S_pad, H*hd) f32 scratch written out once."""
     b = pl.program_id(0)
     vl = vl_ref[b]
-    num_q_blocks = pl.cdiv(vl, block)  # only valid-prefix queries carry cotangent
 
-    for h in range(num_heads):
-        lo = h * hd
-        dq_acc[...] = jnp.zeros_like(dq_acc)
+    dq_acc[...] = jnp.zeros_like(dq_acc)
 
-        def k_step(kj, _):
-            k_blk = k_ref[0, pl.ds(kj * block, block), lo:lo + hd]
-            v_blk = v_ref[0, pl.ds(kj * block, block), lo:lo + hd]
-            bk = block
-            row = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) + kj * block
+    def k_step(kj, _):
+        bk = block
+        row = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) + kj * block
+        rneg = jnp.where(row < vl, 0.0, _NEG_LARGE).astype(jnp.float32)
 
-            def q_step(i, carry):
-                dk, dv = carry
-                q = q_ref[0, pl.ds(i * block, block), lo:lo + hd]
-                do = do_ref[0, pl.ds(i * block, block), lo:lo + hd]
-                lse_r = lse_t_ref[0, h, 0:1, pl.ds(i * block, block)]      # (1, BQ)
-                delta_r = delta_t_ref[0, h, 0:1, pl.ds(i * block, block)]  # (1, BQ)
+        @pl.when(kj * block < vl)
+        def _valid():
+            for h in range(num_heads):
+                lo = h * hd
+                # base-2 scale folded into q (matches the forward); unfolded
+                # from the dk/dq accumulators at write-out below
+                q = q_ref[0, :, lo:lo + hd] * (scale * _LOG2E)
+                do = do_ref[0, :, lo:lo + hd]
+                lse_r = lse_t_ref[0, h, 0:1, :]      # (1, S_pad)
+                delta_r = delta_t_ref[0, h, 0:1, :]  # (1, S_pad)
+                k_blk = k_ref[0, pl.ds(kj * block, block), lo:lo + hd]
+                v_blk = v_ref[0, pl.ds(kj * block, block), lo:lo + hd]
                 s_t = jax.lax.dot_general(k_blk, q, (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32) * scale
-                s_t = jnp.where(row < vl, s_t, _NEG_LARGE)
-                p_t = jnp.exp(s_t - lse_r)
-                dv = dv + jax.lax.dot_general(p_t.astype(do.dtype), do,
-                                              (((1,), (0,)), ((), ())),
-                                              preferred_element_type=jnp.float32)
+                                          preferred_element_type=jnp.float32) + rneg
+                p_t = jnp.exp2(s_t - lse_r)
+                dv = jax.lax.dot_general(p_t.astype(do.dtype), do,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
                 dp_t = jax.lax.dot_general(v_blk, do, (((1,), (1,)), ((), ())),
                                            preferred_element_type=jnp.float32)
-                ds_t = (p_t * (dp_t - delta_r) * scale).astype(q.dtype)
-                dk = dk + jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
-                                              preferred_element_type=jnp.float32)
+                # unscaled ds: the true ds carries *scale, applied at write-out
+                ds_t = (p_t * (dp_t - delta_r)).astype(q_ref.dtype)
+                dk = jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
                 # dq contribution: contract the key dim (dim 0 of both) — the
-                # one non-native matmul; accumulate into the per-head scratch
+                # one non-native matmul; accumulate into the all-heads scratch
                 dq_blk = jax.lax.dot_general(ds_t, k_blk, (((0,), (0,)), ((), ())),
                                              preferred_element_type=jnp.float32)
-                dq_acc[pl.ds(i * block, block), :] += dq_blk
-                return dk, dv
+                dq_acc[:, lo:lo + hd] += dq_blk
+                # dk accumulated against q*(scale*log2e) but true ds carries
+                # only *scale -> correct by 1/log2e (= ln 2)
+                dk_ref[0, pl.ds(kj * block, block), lo:lo + hd] = (
+                    dk * (1.0 / _LOG2E)).astype(dk_ref.dtype)
+                dv_ref[0, pl.ds(kj * block, block), lo:lo + hd] = dv.astype(
+                    dv_ref.dtype)
 
-            z = (jnp.zeros((bk, hd), jnp.float32), jnp.zeros((bk, hd), jnp.float32))
-            # whole key block beyond the prefix -> zero trips, zero dk/dv
-            trips = jnp.where(kj * block < vl, num_q_blocks, 0)
-            dk, dv = jax.lax.fori_loop(0, trips, q_step, z)
-            dk_ref[0, pl.ds(kj * block, block), lo:lo + hd] = dk.astype(dk_ref.dtype)
-            dv_ref[0, pl.ds(kj * block, block), lo:lo + hd] = dv.astype(dv_ref.dtype)
-            return 0
+        @pl.when(kj * block >= vl)
+        def _padded():
+            dk_ref[0, pl.ds(kj * block, block), :] = jnp.zeros(
+                (block, num_heads * hd), dk_ref.dtype)
+            dv_ref[0, pl.ds(kj * block, block), :] = jnp.zeros(
+                (block, num_heads * hd), dv_ref.dtype)
 
-        jax.lax.fori_loop(0, n_blocks, k_step, 0)
-        dq_ref[0, :, lo:lo + hd] = dq_acc[...].astype(dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, k_step, 0)
+    # ds was accumulated unscaled -> dq carries the plain *scale here
+    dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
 # ------------------------------------------------------------ entry points ----
@@ -333,7 +368,7 @@ def _vjp_bwd(num_heads, block, interpret, res, g):
                     _lane_spec(nh, s_pad), _lane_spec(nh, s_pad),
                 ],
                 out_specs=(_full_spec(s_pad, nh * hd_pad),) * 3,
-                scratch_shapes=[pltpu.VMEM((s_pad, hd_pad), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((s_pad, nh * hd_pad), jnp.float32)],
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((b, s_pad, nh * hd_pad), qh.dtype),

@@ -233,6 +233,10 @@ def layernorm(x: Array, scale: Array, bias: Array, eps: float,
     if residual is not None:
         x = x + residual
     xf = x.astype(jnp.float32)
+    # NOTE: a dot-with-ones form of these stats was tried to dodge the minor-
+    # dim reduce; XLA's algebraic simplifier rewrites N=1 dots straight back
+    # into reduces (measured net-zero at the canonical step), so keep the
+    # plain form
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)

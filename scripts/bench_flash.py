@@ -1,0 +1,111 @@
+"""Microbenchmark the prefix-flash attention kernels at the canonical shape
+(B=64, S_pad=2048, D=192, H=2, mixed valid_len) on the real TPU.
+
+Usage: python scripts/bench_flash.py [reps]
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chadavit_tpu.ops.flash_attention import prefix_flash_attention
+
+
+def timeit(fn, args, reps, label):
+    # chain iterations through the first arg and fetch a scalar at the end:
+    # the tunneled device queue makes block_until_ready unreliable for timing
+    out = fn(*args)
+    _ = float(jnp.asarray(out[0] if isinstance(out, tuple) else out).ravel()[0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = args[0]
+        for _ in range(reps):
+            o = fn(o, *args[1:])
+            if isinstance(o, tuple):
+                o = o[0].astype(args[0].dtype)
+        _ = float(jnp.asarray(o).ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    print(f"{label:28s} {best*1e3:8.3f} ms")
+    return best
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    B, S, D, H = 64, 1961, 192, 2
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, S, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, D)), jnp.bfloat16)
+    # width-10 bucket: counts 9..10 -> vl = 1765 / 1961
+    counts = jnp.asarray(rng.integers(9, 11, (B,)), jnp.int32)
+    vl = 1 + counts * 196
+
+    fwd = jax.jit(lambda q, k, v, vl: prefix_flash_attention(q, k, v, vl, H))
+
+    def loss(q, k, v, vl):
+        return jnp.sum(prefix_flash_attention(q, k, v, vl, H).astype(jnp.float32) ** 2)
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+    t_f = timeit(fwd, (q, k, v, vl), reps, "forward")
+    t_g = timeit(grad, (q, k, v, vl), reps, "fwd+bwd")
+
+    # device-time truth from a trace: sum Pallas custom-call time on the
+    # sequential XLA-Ops stream (the tunnel adds ~2ms/call of host overhead)
+    import glob
+    import tempfile
+    logdir = tempfile.mkdtemp(prefix="flash_trace_")
+    jax.profiler.start_trace(logdir)
+    o = q
+    for _ in range(reps):
+        o = fwd(o, k, v, vl)
+    _ = float(jnp.asarray(o).ravel()[0])
+    g_ = None
+    for _ in range(reps):
+        g_ = grad(q, k, v, vl)
+    _ = float(jnp.asarray(g_[0]).ravel()[0])
+    jax.profiler.stop_trace()
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    agg = {}
+    for path in glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True):
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(path, "rb").read())
+        for p in xs.planes:
+            if p.name != "/device:TPU:0":
+                continue
+            names = {kk: vv.name for kk, vv in p.event_metadata.items()}
+            for l in p.lines:
+                if l.name != "XLA Ops":
+                    continue
+                for ev in l.events:
+                    nm = names.get(ev.metadata_id, "?")
+                    if "custom-call" in nm:
+                        out_sig = nm.split("custom-call")[0]  # output tuple only
+                        key = "bwd" if out_sig.count("bf16[") >= 3 else "fwd"
+                        agg[key] = agg.get(key, 0.0) + ev.duration_ps / 1e12
+    # fwd runs reps (chained) + reps (inside grad's vjp-fwd)
+    dev_f = agg.get("fwd", 0.0) / (2 * reps)
+    dev_b = agg.get("bwd", 0.0) / reps
+    print(f"device fwd {dev_f*1e3:8.3f} ms   ({B*4*2048*2048*D/197e12/max(dev_f,1e-9)*100:.0f}% of bf16 peak)")
+    print(f"device bwd {dev_b*1e3:8.3f} ms   ({B*4*2048*2048*D*2.5/197e12/max(dev_b,1e-9)*100:.0f}% of bf16 peak)")
+    # analytic padded-work SOL (bf16 MXU peak 197 TF/s)
+    s_pad = 2048
+    fwd_flops = B * 4 * s_pad * s_pad * D
+    bwd_flops = B * 4 * s_pad * s_pad * D * 2.5
+    print(f"fwd SOL {fwd_flops/197e12*1e3:.3f} ms -> {fwd_flops/197e12/t_f*100:.0f}% of peak")
+    print(f"f+b SOL {(fwd_flops+bwd_flops)/197e12*1e3:.3f} ms -> "
+          f"{(fwd_flops+bwd_flops)/197e12/t_g*100:.0f}% of peak")
+
+
+if __name__ == "__main__":
+    main()
