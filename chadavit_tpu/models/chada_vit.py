@@ -154,6 +154,9 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     ln_impl: str = "auto"
+    # "auto" (fused Pallas layer kernel on TPU when it applies), "fused"
+    # (force, interpreted off-TPU), or "xla" (the unfused reference path)
+    block_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -168,6 +171,34 @@ class EncoderLayer(nn.Module):
         d = self.embed_dim
         n1_scale, n1_bias = LNParams(d, self.param_dtype, name="norm1")()
         n2_scale, n2_bias = LNParams(d, self.param_dtype, name="norm2")()
+
+        # --- fused whole-layer Pallas kernel (ops/fused_block.py): one HBM
+        # read + write per layer instead of ~10 memory-bound XLA fusions.
+        # During init the XLA path below must run to CREATE the params.
+        if (not self.is_initializing() and not return_attention
+                and valid_len is not None and self.dropout_rate == 0.0
+                and self.block_impl in ("auto", "fused")):
+            from chadavit_tpu.ops import fused_block
+
+            on_tpu = jax.default_backend() == "tpu"
+            s_pad = -(-x.shape[1] // fused_block.DEFAULT_BLOCK) * fused_block.DEFAULT_BLOCK
+            fits = (d % self.num_heads == 0 and (d // self.num_heads) % 8 == 0
+                    and fused_block.vmem_estimate(
+                        s_pad, d, self.ffn_dim, self.num_heads,
+                        fused_block.DEFAULT_BLOCK, jnp.dtype(self.dtype).itemsize)
+                    <= fused_block.VMEM_BYTES)
+            if fits and (self.block_impl == "fused" or on_tpu):
+                p = self.variables["params"]
+                return fused_block.fused_encoder_block(
+                    x, valid_len,
+                    p["in_proj_kernel"], p["in_proj_bias"],
+                    p["out_proj_kernel"], p["out_proj_bias"],
+                    n1_scale, n1_bias, n2_scale, n2_bias,
+                    p["linear1"]["kernel"], p["linear1"]["bias"],
+                    p["linear2"]["kernel"], p["linear2"]["bias"],
+                    self.num_heads, self.layer_norm_eps, self.layer_norm_eps,
+                    fused_block.DEFAULT_BLOCK, not on_tpu,
+                )
 
         def ln(v, scale, bias, residual=None):
             return layernorm(v, scale, bias, self.layer_norm_eps,
@@ -246,6 +277,7 @@ class ChAdaViT(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     ln_impl: str = "auto"
+    block_impl: str = "auto"
     # pad the token sequence (1 + C_max*N = 1961 canonically) up to a multiple
     # of this so every matmul/kernel tiles cleanly on (8,128) hardware tiles;
     # extra positions are masked and sliced off. 0 disables.
@@ -290,6 +322,7 @@ class ChAdaViT(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 ln_impl=self.ln_impl,
+                block_impl=self.block_impl,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
@@ -484,6 +517,7 @@ def chada_vit(**kwargs) -> ChAdaViT:
         param_dtype=kwargs.get("param_dtype", jnp.float32),
         attn_impl=kwargs.get("attn_impl", "auto"),
         ln_impl=kwargs.get("ln_impl", "auto"),
+        block_impl=kwargs.get("block_impl", "auto"),
         seq_pad_multiple=kwargs.get("seq_pad_multiple", 256),
         patch_embed_conv=kwargs.get("patch_embed_conv", True),
         tokenizer_impl=kwargs.get("tokenizer_impl", "xla"),

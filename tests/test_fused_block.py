@@ -1,0 +1,137 @@
+"""Parity of the fused encoder-block kernel (ops/fused_block.py) against the
+unfused EncoderLayer (flax + XLA attention): forward outputs and every
+gradient (x + all 12 parameters), on mixed valid lengths including
+fully-skipped query blocks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chadavit_tpu.models.chada_vit import EncoderLayer, channel_padding_mask
+from chadavit_tpu.ops.fused_block import fused_encoder_block
+
+B, S, D, H, F = 3, 200, 32, 2, 64
+BLOCK = 64
+EPS = 1e-5
+
+
+def _build():
+    rng = np.random.default_rng(0)
+    layer = EncoderLayer(embed_dim=D, num_heads=H, ffn_dim=F,
+                         layer_norm_eps=EPS, attn_impl="xla", ln_impl="xla")
+    x = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+    vl = jnp.asarray([200, 60, 130], jnp.int32)  # incl. <BLOCK (skipped blocks)
+    mask = jnp.arange(S)[None, :] >= vl[:, None]
+    params = layer.init(jax.random.PRNGKey(0), x, mask, valid_len=vl)["params"]
+    # non-trivial LN params so their gradients are informative
+    params = jax.tree.map(lambda p: p, params)
+    params["norm1"]["scale"] = params["norm1"]["scale"] * 1.3 + 0.1
+    params["norm2"]["bias"] = params["norm2"]["bias"] + 0.05
+    return layer, params, x, vl, mask
+
+
+def _flat(params):
+    return (params["in_proj_kernel"], params["in_proj_bias"],
+            params["out_proj_kernel"], params["out_proj_bias"],
+            params["norm1"]["scale"], params["norm1"]["bias"],
+            params["norm2"]["scale"], params["norm2"]["bias"],
+            params["linear1"]["kernel"], params["linear1"]["bias"],
+            params["linear2"]["kernel"], params["linear2"]["bias"])
+
+
+def _fused(x, vl, params):
+    return fused_encoder_block(x, vl, *_flat(params), H, EPS, EPS, BLOCK, True)
+
+
+def test_forward_parity():
+    layer, params, x, vl, mask = _build()
+    ref = layer.apply({"params": params}, x, mask, valid_len=vl)
+    out = _fused(x, vl, params)
+    valid = ~np.asarray(mask)
+    for i in range(B):
+        np.testing.assert_allclose(np.asarray(out)[i][valid[i]],
+                                   np.asarray(ref)[i][valid[i]],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_grad_parity():
+    layer, params, x, vl, mask = _build()
+    w = jnp.where(mask[:, :, None], 0.0, 1.0)  # valid-only loss => dy=0 on pads
+
+    def loss_ref(x, params):
+        y = layer.apply({"params": params}, x, mask, valid_len=vl)
+        return jnp.sum((y * w) ** 2)
+
+    def loss_fused(x, params):
+        y = _fused(x, vl, params)
+        return jnp.sum((y * w) ** 2)
+
+    (lr, gr) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, params)[1], None
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+
+    l_ref = loss_ref(x, params)
+    l_fus = loss_fused(x, params)
+    np.testing.assert_allclose(np.asarray(l_fus), np.asarray(l_ref), rtol=1e-5)
+
+    np.testing.assert_allclose(np.asarray(g_fus[0]), np.asarray(g_ref[0]),
+                               rtol=2e-4, atol=2e-4, err_msg="dx")
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref[1])
+    flat_fus = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(g_fus[1])}
+    for k, v_ref in flat_ref:
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(flat_fus[key]),
+                                   np.asarray(v_ref),
+                                   rtol=5e-4, atol=5e-4, err_msg=key)
+
+
+def test_model_level_parity():
+    """Full ChAdaViT with block_impl='fused' (interpreted) matches the unfused
+    model: CLS forward and gradients through a scalar loss."""
+    from chadavit_tpu.models.chada_vit import ChAdaViT
+
+    kw = dict(img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+              ffn_dim=64, max_channels=3, return_all_tokens=False,
+              seq_pad_multiple=64)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    counts = jnp.asarray([1, 3], jnp.int32)
+
+    ref_model = ChAdaViT(block_impl="xla", attn_impl="xla", **kw)
+    params = ref_model.init(jax.random.PRNGKey(0), x, counts)["params"]
+    fus_model = ChAdaViT(block_impl="fused", attn_impl="xla", **kw)
+
+    y_ref = ref_model.apply({"params": params}, x, counts)
+    y_fus = fus_model.apply({"params": params}, x, counts)
+    np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss(model):
+        def f(params, x):
+            return jnp.sum(model.apply({"params": params}, x, counts) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(ref_model), argnums=(0, 1))(params, x)
+    g_fus = jax.grad(loss(fus_model), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(g_fus[1]), np.asarray(g_ref[1]),
+                               rtol=1e-3, atol=1e-4, err_msg="dx")
+    ref_leaves = jax.tree_util.tree_leaves_with_path(g_ref[0])
+    fus_leaves = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(g_fus[0])}
+    for k, v_ref in ref_leaves:
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(fus_leaves[key]),
+                                   np.asarray(v_ref),
+                                   rtol=1e-3, atol=1e-4, err_msg=key)
+
+
+def test_bf16_runs_finite():
+    layer, params, x, vl, mask = _build()
+    p16 = params  # params stay f32; activations bf16 like training
+    out = fused_encoder_block(x.astype(jnp.bfloat16), vl, *_flat(p16),
+                              H, EPS, EPS, BLOCK, True)
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
