@@ -85,7 +85,7 @@ def _fwd_kernel(save: bool, scale: float, block: int, n_blocks: int,
     if save:
         (vl_ref, x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, g1_ref, b1_ref,
          g2_ref, b2_ref, w1_ref, b1f_ref, w2_ref, b2f_ref,
-         y_ref, attn_ref, x2_ref, lse_ref, stats_ref, qkv_s) = refs
+         y_ref, attn_ref, x2_ref, r2_ref, lse_ref, stats_ref, qkv_s) = refs
     else:
         (vl_ref, x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, g1_ref, b1_ref,
          g2_ref, b2_ref, w1_ref, b1f_ref, w2_ref, b2f_ref,
@@ -154,6 +154,10 @@ def _fwd_kernel(save: bool, scale: float, block: int, n_blocks: int,
             hid = jax.nn.relu(z1)
             f = _nn(hid, w2_ref[...]).astype(dt) + b2f_ref[0:1, :]
             r2 = x2 + f
+            if save:
+                # saving r2 lets the backward skip the second FFN matmul of
+                # its forward recompute (xhat3 comes straight from r2)
+                r2_ref[0, sl, :] = r2
             r2f = r2.astype(jnp.float32)
             mu3, rstd3 = _stats(r2f, eps2)
             y = (r2f - mu3) * rstd3 * g2_ref[0:1, :].astype(jnp.float32) \
@@ -171,6 +175,7 @@ def _fwd_kernel(save: bool, scale: float, block: int, n_blocks: int,
             if save:
                 attn_ref[0, sl, :] = jnp.zeros((block, d), dt)
                 x2_ref[0, sl, :] = jnp.zeros((block, d), dt)
+                r2_ref[0, sl, :] = jnp.zeros((block, d), dt)
                 for h_i in range(num_heads):
                     lse_ref[0, h_i, sl, :] = jnp.full((block, LANES), -_NEG,
                                                       jnp.float32)
@@ -187,7 +192,8 @@ def _fwd_kernel(save: bool, scale: float, block: int, n_blocks: int,
 def _bwd_kernel(scale: float, block: int, n_blocks: int, num_heads: int,
                 hd: int, eps1: float, eps2: float,
                 # inputs
-                vl_ref, x_ref, attn_ref, x2_ref, dy_ref, lse_ref, stats_ref,
+                vl_ref, x_ref, attn_ref, x2_ref, r2_ref, dy_ref, lse_ref,
+                stats_ref,
                 wqkv_ref, bqkv_ref, wout_ref, bout_ref, g1_ref, b1_ref,
                 g2_ref, b2_ref, w1_ref, b1f_ref, w2_ref, b2f_ref,
                 # outputs
@@ -244,11 +250,11 @@ def _bwd_kernel(scale: float, block: int, n_blocks: int, num_heads: int,
         x2 = x2_ref[0, sl, :]
         dy = dy_ref[0, sl, :].astype(jnp.float32)
 
-        # recompute FFN forward pieces
+        # recompute the FFN hidden (needed for dW2/relu'); r2 was saved by
+        # the forward, so the second FFN matmul is not recomputed
         z1 = _nn(x2, w1_ref[...]).astype(dt) + b1f_ref[0:1, :]
         hid = jax.nn.relu(z1)
-        f = _nn(hid, w2_ref[...]).astype(dt) + b2f_ref[0:1, :]
-        r2f = (x2 + f).astype(jnp.float32)
+        r2f = r2_ref[0, sl, :].astype(jnp.float32)
         xhat3 = (r2f - stats_ref[0, 4, sl, 0:1]) * stats_ref[0, 5, sl, 0:1]
 
         dr2, dgam2, dbet2 = ln_bwd(dy, xhat3, stats_ref[0, 5, sl, 0:1], g2)
@@ -434,13 +440,14 @@ def _run_fwd(x, valid_len, params, num_heads, eps1, eps2, block, interpret,
     out_shapes = [jax.ShapeDtypeStruct((bsz, s_pad, d), dt)]
     if save:
         out_specs += [
-            _full(s_pad, d), _full(s_pad, d),
+            _full(s_pad, d), _full(s_pad, d), _full(s_pad, d),
             pl.BlockSpec((1, num_heads, s_pad, LANES), lambda b, vl: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6, s_pad, LANES), lambda b, vl: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shapes += [
+            jax.ShapeDtypeStruct((bsz, s_pad, d), dt),
             jax.ShapeDtypeStruct((bsz, s_pad, d), dt),
             jax.ShapeDtypeStruct((bsz, s_pad, d), dt),
             jax.ShapeDtypeStruct((bsz, num_heads, s_pad, LANES), jnp.float32),
@@ -486,15 +493,15 @@ def fused_encoder_block(
 def _vjp_fwd(x, valid_len, wqkv, bqkv, wout, bout, g1, b1, g2, b2,
              w1, b1f, w2, b2f, num_heads, eps1, eps2, block, interpret):
     params = (wqkv, bqkv, wout, bout, g1, b1, g2, b2, w1, b1f, w2, b2f)
-    (y, attn, x2, lse, stats), s_pad = _run_fwd(
+    (y, attn, x2, r2, lse, stats), s_pad = _run_fwd(
         x, valid_len, params, num_heads, eps1, eps2, block, interpret,
         save=True)
-    res = (x, valid_len, attn, x2, lse, stats, params)
+    res = (x, valid_len, attn, x2, r2, lse, stats, params)
     return y[:, :x.shape[1]], res
 
 
 def _vjp_bwd(num_heads, eps1, eps2, block, interpret, res, g):
-    x, valid_len, attn, x2, lse, stats, params = res
+    x, valid_len, attn, x2, r2, lse, stats, params = res
     (wqkv, bqkv, wout, bout, g1, b1, g2, b2, w1, b1f, w2, b2f) = params
     bsz, s, d = x.shape
     f = w1.shape[1]
@@ -527,7 +534,7 @@ def _vjp_bwd(num_heads, eps1, eps2, block, interpret, res, g):
             num_scalar_prefetch=1,
             grid=(bsz,),
             in_specs=[_full(s_pad, d), _full(s_pad, d), _full(s_pad, d),
-                      _full(s_pad, d),
+                      _full(s_pad, d), _full(s_pad, d),
                       pl.BlockSpec((1, num_heads, s_pad, LANES),
                                    lambda b, vl: (b, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -565,7 +572,7 @@ def _vjp_bwd(num_heads, eps1, eps2, block, interpret, res, g):
             vmem_limit_bytes=VMEM_BYTES,
         ),
         interpret=interpret,
-    )(vl, xp, attn, x2, dy, lse, stats, *weights)
+    )(vl, xp, attn, x2, r2, dy, lse, stats, *weights)
 
     (dx, dwqkv, dbqkv, dwout, dbout, dg1, db1, dg2, db2,
      dw1, db1f, dw2, db2f) = outs

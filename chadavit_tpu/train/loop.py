@@ -133,6 +133,9 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
         # group batches by channel count and pad only to the bucket width:
         # skips padded-channel FFN/LN work (the step recompiles once per width)
         bucket_by_channels=cfg.get("bucket_by_channels", False),
+        # exact widths by default: padded-channel work is zero (attention cost
+        # scales with the true (1+196c)^2); one compiled shape per width
+        bucket_round=int(cfg.get("bucket_round", 1)),
         **loader_kwargs,
     )
 
@@ -158,7 +161,13 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         else:
             print(f"devices={cfg_devices} exceeds visible {len(all_dev)}; using all")
     mesh = make_mesh(n_model=int(cfg.get("model_parallel", 1) or 1), devices=devices)
-    state, train_step, model, head = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(seed))
+    # with on-device augmentation, compile it INTO the train step (one dispatch
+    # per step; raw integer planes go straight into the jitted program)
+    fused_augs = ([dict(a) for a in cfg.get("augmentations", [])]
+                  if cfg.get("device_augmentations", False) else None)
+    state, train_step, model, head = build_dino(
+        spec, mesh=mesh, rng=jax.random.PRNGKey(seed),
+        device_augmentations=fused_augs)
 
     from chadavit_tpu.utils.misc import pretty_param_summary
 
@@ -327,13 +336,6 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     def _host_cast(a):
         return a.astype(ml_dtypes.bfloat16) if spec.dtype == jnp.bfloat16 else a
 
-    # on-device multicrop augmentation (DALI-equivalent; see device_augment.py)
-    device_aug = None
-    if cfg.get("device_augmentations", False):
-        from chadavit_tpu.data.device_augment import make_multicrop_fn
-
-        device_aug = make_multicrop_fn([dict(a) for a in cfg.get("augmentations", [])],
-                                       dtype=spec.dtype)
     # step-indexed rng (fold_in, not sequential splits) so an exact-step resume
     # reproduces the augmentation stream of an uninterrupted run
     aug_base = jax.random.PRNGKey(seed + 1)
@@ -347,13 +349,12 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         for bi, batch in enumerate(loader):
             if bi < skip:  # mid-epoch resume: already-consumed batches
                 continue
-            if device_aug is not None:
-                # raw integer transfer; [0,1] conversion + views on device
-                sub = jax.random.fold_in(aug_base, gstep)
-                out = device_aug(sub, jnp.asarray(batch["images"]),
-                                 jnp.asarray(batch["channel_counts"]))
-                dev_batch = {"crops": out["crops"].astype(spec.dtype),
-                             "channel_counts": out["channel_counts"]}
+            if fused_augs is not None:
+                # raw integer transfer; [0,1] conversion + views + train step
+                # all inside ONE jitted program (see build_dino)
+                dev_batch = {"images": jnp.asarray(batch["images"]),
+                             "channel_counts": jnp.asarray(batch["channel_counts"]),
+                             "rng": jax.random.fold_in(aug_base, gstep)}
             else:
                 dev_batch = {
                     "crops": jnp.asarray(_host_cast(batch["crops"])),

@@ -95,11 +95,19 @@ def build_dino(
     spec: DinoPretrainSpec,
     mesh=None,
     rng: Optional[jax.Array] = None,
+    device_augmentations=None,
 ) -> Tuple[DinoState, Callable, Any, Any]:
     """Returns ``(state, jitted_train_step, backbone_model, head_model)``.
 
     The step is jitted over ``mesh`` with the batch sharded on the data axis and
-    params sharded per the TP rules (replicated when the model axis is 1)."""
+    params sharded per the TP rules (replicated when the model axis is 1).
+
+    With ``device_augmentations`` (the augmentation pipeline list), the
+    on-device multicrop augmentation is compiled INTO the train step — one
+    dispatch per step instead of two (aug + step), letting XLA overlap the
+    augmentation with the first layer's weights prefetch. The returned step
+    then takes ``(state, {"images": raw uint8/uint16 (B, C, H, W),
+    "channel_counts", "rng": PRNGKey[, "labels"]})``."""
     if mesh is None:
         mesh = make_mesh(n_model=1)
     if rng is None:
@@ -108,6 +116,13 @@ def build_dino(
     bk = dict(spec.backbone_kwargs)
     bk.setdefault("img_size", spec.img_size)
     bk["dtype"] = spec.dtype
+    from chadavit_tpu.parallel.mesh import MODEL_AXIS
+
+    if mesh is not None and dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+        # under tensor parallelism the per-layer weights are sharded on the
+        # model axis; the fused whole-layer kernel needs them whole (GSPMD
+        # cannot partition the custom call), so fall back to the unfused path
+        bk.setdefault("block_impl", "xla")
     is_chada = spec.backbone in ("vit_channels", "chada_vit")
     if not is_chada:
         bk.pop("return_all_tokens", None)
@@ -260,6 +275,37 @@ def build_dino(
     metric_sh = rep
 
     state = jax.device_put(state, state_sh)
+    if device_augmentations is not None:
+        from chadavit_tpu.data.device_augment import make_multicrop_fn
+
+        aug_fn = make_multicrop_fn([dict(a) for a in device_augmentations],
+                                   dtype=spec.dtype)
+
+        def fused_raw(st, batch):
+            out = aug_fn(batch["rng"], batch["images"], batch["channel_counts"])
+            dev = {"crops": out["crops"].astype(spec.dtype),
+                   "channel_counts": out["channel_counts"]}
+            if "labels" in batch:
+                dev["labels"] = batch["labels"]
+            return raw_step(st, dev)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from chadavit_tpu.parallel.mesh import DATA_AXIS
+
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+        fused_batch_sh = {"images": data_sh, "channel_counts": data_sh,
+                          "rng": rep}
+        if use_classifier:
+            fused_batch_sh["labels"] = data_sh
+        train_step = jax.jit(
+            fused_raw,
+            in_shardings=(state_sh, fused_batch_sh),
+            out_shardings=(state_sh, None),
+            donate_argnums=(0,),
+        )
+        return state, train_step, model, head
+
     train_step = jax.jit(
         raw_step,
         in_shardings=(state_sh, batch_sh),
