@@ -248,3 +248,45 @@ def test_tp_with_grad_accumulation():
                if hasattr(x, "sharding") and
                "model" in getattr(x.sharding, "spec", ()) .__repr__()]
     assert sharded, "no student param carries a model-axis sharding"
+
+
+def test_fused_augment_step():
+    """build_dino(device_augmentations=...) compiles augmentation into the
+    step: raw uint8 batches go in, the loss is finite, the step is
+    deterministic in (state, batch, rng), and distinct rngs give distinct
+    augmented views (hence losses)."""
+    spec = DinoPretrainSpec(**TINY)
+    augs = [
+        {"crop_size": 32, "num_crops": 1,
+         "rrc": {"enabled": True, "crop_min_scale": 0.3, "crop_max_scale": 1.0},
+         "horizontal_flip": {"prob": 0.5}},
+        {"crop_size": 32, "num_crops": 1,
+         "rrc": {"enabled": True, "crop_min_scale": 0.3, "crop_max_scale": 1.0},
+         "horizontal_flip": {"prob": 0.5}},
+    ]
+    mesh = make_mesh(n_model=1)
+    rng0 = jax.random.PRNGKey(0)
+
+    def fresh():
+        return build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(3),
+                          device_augmentations=augs)
+
+    rngg = np.random.default_rng(0)
+    imgs = jnp.asarray(rngg.integers(0, 255, (8, 4, 32, 32), dtype=np.uint8))
+    counts = jnp.asarray(rngg.integers(1, 5, (8,)), jnp.int32)
+    batch = lambda r: {"images": imgs, "channel_counts": counts, "rng": r}
+
+    state, step, _, _ = fresh()
+    state, m1 = step(state, batch(rng0))
+    l1 = float(m1["dino_loss"])
+    assert np.isfinite(l1)
+
+    # determinism: same rng -> same loss (fresh state; the jitted step donates)
+    state2, step2, _, _ = fresh()
+    _, m1b = step2(state2, batch(rng0))
+    assert float(m1b["dino_loss"]) == pytest.approx(l1, rel=1e-6)
+
+    # different augmentation rng -> different views -> different loss
+    state3, step3, _, _ = fresh()
+    _, m2 = step3(state3, batch(jax.random.PRNGKey(1)))
+    assert float(m2["dino_loss"]) != pytest.approx(l1, rel=1e-7)
