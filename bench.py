@@ -171,7 +171,10 @@ def main():
         jax.profiler.stop_trace()
         from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: PLC0415
 
-        dev_s = 0.0
+        # average device-busy seconds per chip: each TPU plane is one chip's
+        # sequential compute stream (summing them would divide throughput by
+        # n_chips twice on multi-chip hosts)
+        dev_s, n_planes = 0.0, 0
         for path in glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                               recursive=True):
             xs = xplane_pb2.XSpace()
@@ -180,11 +183,12 @@ def main():
             for p in xs.planes:
                 if not p.name.startswith("/device:TPU"):
                     continue
+                n_planes += 1
                 for line in p.lines:
                     if line.name == "XLA Ops":
                         dev_s += sum(ev.duration_ps for ev in line.events) / 1e12
         if dev_s > 0:
-            dev_img_s = n_img / dev_s
+            dev_img_s = n_img / (dev_s / max(n_planes, 1))
     except Exception as e:  # pragma: no cover - profiling is best-effort
         print(f"device-trace pass skipped: {e}", file=sys.stderr)
 

@@ -81,7 +81,7 @@ def main():
         xs = xplane_pb2.XSpace()
         xs.ParseFromString(open(path, "rb").read())
         for p in xs.planes:
-            if p.name != "/device:TPU:0":
+            if not p.name.startswith("/device:TPU"):
                 continue
             names = {kk: vv.name for kk, vv in p.event_metadata.items()}
             for l in p.lines:

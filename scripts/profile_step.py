@@ -22,11 +22,12 @@ def build_and_trace(width: int, batch: int, steps: int, logdir: str):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
     from chadavit_tpu.data.device_augment import make_multicrop_fn
     from chadavit_tpu.parallel.mesh import make_mesh
     from chadavit_tpu.train.pretrain import DinoPretrainSpec, build_dino
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import ASYMMETRIC_AUGS
 
     spec = DinoPretrainSpec(

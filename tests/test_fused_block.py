@@ -26,7 +26,6 @@ def _build():
     mask = jnp.arange(S)[None, :] >= vl[:, None]
     params = layer.init(jax.random.PRNGKey(0), x, mask, valid_len=vl)["params"]
     # non-trivial LN params so their gradients are informative
-    params = jax.tree.map(lambda p: p, params)
     params["norm1"]["scale"] = params["norm1"]["scale"] * 1.3 + 0.1
     params["norm2"]["bias"] = params["norm2"]["bias"] + 0.05
     return layer, params, x, vl, mask
@@ -68,7 +67,6 @@ def test_grad_parity():
         y = _fused(x, vl, params)
         return jnp.sum((y * w) ** 2)
 
-    (lr, gr) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, params)[1], None
     g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, params)
     g_fus = jax.grad(loss_fused, argnums=(0, 1))(x, params)
 
