@@ -135,7 +135,9 @@ def make_dino_train_step(
     """
 
     def _class_metrics(logits: Array, targets: Array, prefix: str) -> Dict[str, Array]:
-        valid = targets >= 0
+        # out-of-range targets (mislabeled data or a mis-inferred num_classes)
+        # count as invalid rather than clamping into a wrong class
+        valid = (targets >= 0) & (targets < logits.shape[-1])
         t = jnp.where(valid, targets, 0)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         per = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]

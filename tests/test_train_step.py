@@ -290,3 +290,16 @@ def test_fused_augment_step():
     state3, step3, _, _ = fresh()
     _, m2 = step3(state3, batch(jax.random.PRNGKey(1)))
     assert float(m2["dino_loss"]) != pytest.approx(l1, rel=1e-7)
+
+
+def test_classifier_out_of_range_labels_are_invalid():
+    """Targets outside [0, num_classes) must not poison the classifier
+    metrics (a mis-inferred num_classes produced NaN class loss before)."""
+    spec = DinoPretrainSpec(**TINY, num_classes=3, online_classifier=True)
+    mesh = make_mesh(n_model=1)
+    state, step, _, _ = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(0))
+    batch = synthetic_dino_batch(spec, batch_size=8)
+    batch["labels"] = jnp.asarray([0, 1, 2, 7, -1, 2, 9, 1], jnp.int32)
+    state, m = step(state, batch)
+    for k in ("train_class_loss", "train_acc1", "train_acc5", "dino_loss"):
+        assert np.isfinite(float(m[k])), (k, float(m[k]))
