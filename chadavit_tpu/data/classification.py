@@ -124,6 +124,7 @@ def prepare_data(
     val_transform_for_train: bool = False,
     seed: int = 0,
     native_loader: bool = False,
+    bucket_by_channels: bool = True,
     **dataset_kwargs,
 ) -> Tuple[HostLoader, Optional[HostLoader]]:
     """Build (train_loader, val_loader) (reference
@@ -170,16 +171,20 @@ def prepare_data(
     train_ds = prepare_datasets(dataset, transform=t_train, train_path=train_path,
                                 train=True, sample_ratio=sample_ratio,
                                 **synth, **dataset_kwargs)
+    # exact-width channel buckets: mixed-channel eval batches pad only to the
+    # batch's true count instead of max_channels (features/targets stay paired;
+    # fixed-channel datasets see a single bucket and are unaffected)
+    bk = dict(bucket_by_channels=bucket_by_channels, bucket_round=1)
     train_loader = HostLoader(train_ds, batch_size=batch_size, max_channels=max_channels,
                               num_workers=num_workers, seed=seed,
-                              shuffle=not val_transform_for_train, drop_last=False)
+                              shuffle=not val_transform_for_train, drop_last=False, **bk)
     val_loader = None
     if val_path is not None or dataset == "synthetic":
         val_ds = prepare_datasets(dataset, transform=t_val, train_path=val_path or train_path,
                                   train=False, **synth, **dataset_kwargs)
         val_loader = HostLoader(val_ds, batch_size=batch_size, max_channels=max_channels,
                                 num_workers=num_workers, seed=seed,
-                                shuffle=False, drop_last=False)
+                                shuffle=False, drop_last=False, **bk)
     return train_loader, val_loader
 
 
