@@ -48,10 +48,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_BLOCK = 256
-_NEG = -1e30
-_LOG2E = 1.4426950408889634
-LANES = 8
+# the base-2 softmax / additive-mask / lse-row conventions are one contract
+# shared with the standalone flash kernels — single definition there
+from chadavit_tpu.ops.flash_attention import (  # noqa: E402
+    DEFAULT_BLOCK,
+    LANES,
+    _LOG2E,
+    _NEG_LARGE as _NEG,
+)
+
 # conservative per-core VMEM budget for the fused path; above it the caller
 # should fall back to the unfused (flash attention + XLA) layer
 VMEM_BYTES = 100 * 1024 * 1024
@@ -104,14 +109,25 @@ def _fwd_kernel(save: bool, scale: float, block: int, n_blocks: int,
     # ---- phase A: LN1 + QKV projection into VMEM scratch, per s-block ----
     def a_step(i, _):
         sl = pl.ds(i * block, block)
-        xf = x_ref[0, sl, :].astype(jnp.float32)
-        mu, rstd = _stats(xf, eps1)
-        h = ((xf - mu) * rstd * g1 + b1).astype(dt)
-        qkv = _nn(h, wqkv_ref[...]).astype(dt) + bqkv_ref[0:1, :]
-        qkv_s[sl, :] = qkv
-        if save:
-            stats_ref[0, 0, sl, :] = jnp.broadcast_to(mu, (block, LANES))
-            stats_ref[0, 1, sl, :] = jnp.broadcast_to(rstd, (block, LANES))
+
+        @pl.when(i * block < vl)
+        def _valid():
+            xf = x_ref[0, sl, :].astype(jnp.float32)
+            mu, rstd = _stats(xf, eps1)
+            h = ((xf - mu) * rstd * g1 + b1).astype(dt)
+            qkv = _nn(h, wqkv_ref[...]).astype(dt) + bqkv_ref[0:1, :]
+            qkv_s[sl, :] = qkv
+            if save:
+                stats_ref[0, 0, sl, :] = jnp.broadcast_to(mu, (block, LANES))
+                stats_ref[0, 1, sl, :] = jnp.broadcast_to(rstd, (block, LANES))
+
+        @pl.when(i * block >= vl)
+        def _padded():
+            # keys here are masked and the q block is skipped, but phase B
+            # reads full k/v rows — keep them finite zeros (phase B's
+            # _padded branch writes the 1.0 stat placeholders)
+            qkv_s[sl, :] = jnp.zeros((block, 3 * d), dt)
+
         return 0
 
     jax.lax.fori_loop(0, n_blocks, a_step, 0)
@@ -234,19 +250,46 @@ def _bwd_kernel(scale: float, block: int, n_blocks: int, num_heads: int,
     # ---- phase A': recompute h and qkv from saved LN1 stats ----
     def a_step(i, _):
         sl = pl.ds(i * block, block)
-        xf = x_ref[0, sl, :].astype(jnp.float32)
-        mu = stats_ref[0, 0, sl, 0:1]
-        rstd = stats_ref[0, 1, sl, 0:1]
-        h = ((xf - mu) * rstd * g1 + b1).astype(dt)
-        h_s[sl, :] = h
-        qkv_s[sl, :] = _nn(h, wqkv_ref[...]).astype(dt) + bqkv_ref[0:1, :]
+
+        @pl.when(i * block < vl)
+        def _valid():
+            xf = x_ref[0, sl, :].astype(jnp.float32)
+            mu = stats_ref[0, 0, sl, 0:1]
+            rstd = stats_ref[0, 1, sl, 0:1]
+            h = ((xf - mu) * rstd * g1 + b1).astype(dt)
+            h_s[sl, :] = h
+            qkv_s[sl, :] = _nn(h, wqkv_ref[...]).astype(dt) + bqkv_ref[0:1, :]
+
+        @pl.when(i * block >= vl)
+        def _padded():
+            h_s[sl, :] = jnp.zeros((block, d), dt)
+            qkv_s[sl, :] = jnp.zeros((block, 3 * d), dt)
+
         return 0
 
     jax.lax.fori_loop(0, n_blocks, a_step, 0)
 
-    # ---- phase B': FFN + both post-attention LN backwards, per s-block ----
+    # ---- phase B': FFN + both post-attention LN backwards, per s-block.
+    # Fully-invalid blocks must be skipped even though their cotangent is
+    # zero for every in-repo loss: the forward stored zeros + placeholder
+    # stats there, so running the math against a hypothetical nonzero dy
+    # would silently poison the parameter-gradient sums. ----
     def b_step(i, _):
         sl = pl.ds(i * block, block)
+
+        @pl.when(i * block >= vl)
+        def _padded():
+            dx_ref[0, sl, :] = jnp.zeros((block, d), dt)
+            dattn_s[sl, :] = jnp.zeros((block, d), dt)
+            rows_cs[sl, :] = jnp.zeros((block, num_heads * LANES), jnp.float32)
+
+        @pl.when(i * block < vl)
+        def _valid():
+            _b_valid(i, sl)
+
+        return 0
+
+    def _b_valid(i, sl):
         x2 = x2_ref[0, sl, :]
         dy = dy_ref[0, sl, :].astype(jnp.float32)
 
@@ -297,7 +340,6 @@ def _bwd_kernel(scale: float, block: int, n_blocks: int, num_heads: int,
                            axis=-1, keepdims=True)
             rows_cs[sl, h_i * LANES:(h_i + 1) * LANES] = jnp.broadcast_to(
                 dcol, (block, LANES))
-        return 0
 
     jax.lax.fori_loop(0, n_blocks, b_step, 0)
 
@@ -401,6 +443,27 @@ def _pad_seq(x, s_pad):
     return x if s == s_pad else jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
 
 
+def _pack_weights(params, dt, d, f):
+    """Cast/reshape the 12 layer parameters into kernel operands + specs
+    (single definition shared by the forward and backward pallas_calls)."""
+    (wqkv, bqkv, wout, bout, g1, b1, g2, b2, w1, b1f, w2, b2f) = params
+    row = lambda a: a.reshape(1, -1).astype(dt)
+    frow = lambda a: a.reshape(1, -1)  # LN params stay f32
+    weights = (wqkv.astype(dt), row(bqkv), wout.astype(dt), row(bout),
+               frow(g1), frow(b1), frow(g2), frow(b2),
+               w1.astype(dt), row(b1f), w2.astype(dt), row(b2f))
+    w_specs = [_whole(d, 3 * d), _whole(1, 3 * d), _whole(d, d), _whole(1, d),
+               _whole(1, d), _whole(1, d), _whole(1, d), _whole(1, d),
+               _whole(d, f), _whole(1, f), _whole(f, d), _whole(1, d)]
+    return weights, w_specs
+
+
+def _bwd_block(block: int, s_pad: int) -> int:
+    """The backward's key-block size: doubled when it still divides s_pad
+    (fewer loop trips; measured 9.10 -> 8.74 ms at the canonical shape)."""
+    return 2 * block if s_pad % (2 * block) == 0 else block
+
+
 def vmem_estimate(s_pad: int, d: int, f: int, num_heads: int, block: int,
                   itemsize: int) -> int:
     """Rough VMEM bytes for the backward kernel (the bigger of the two)."""
@@ -411,7 +474,8 @@ def vmem_estimate(s_pad: int, d: int, f: int, num_heads: int, block: int,
             + 4 * num_heads * LANES * s_pad * 4
             + (2 * d * 3 * d + 2 * d * d + 4 * d * f) * 4  # dW scratch f32
             + (d * 3 * d + d * d + 2 * d * f) * itemsize   # weights
-            + 6 * block * s_pad * 4      # score-sized temporaries
+            # score-sized temporaries at the backward's (doubled) block
+            + 6 * _bwd_block(block, s_pad) * s_pad * 4
             + 6 * act)                   # in/out buffers
 
 
@@ -427,14 +491,7 @@ def _run_fwd(x, valid_len, params, num_heads, eps1, eps2, block, interpret,
     vl = valid_len.astype(jnp.int32)
     dt = x.dtype
 
-    row = lambda a: a.reshape(1, -1).astype(dt)
-    frow = lambda a: a.reshape(1, -1)  # LN params stay f32
-    weights = (wqkv.astype(dt), row(bqkv), wout.astype(dt), row(bout),
-               frow(g1), frow(b1), frow(g2), frow(b2),
-               w1.astype(dt), row(b1f), w2.astype(dt), row(b2f))
-    w_specs = [_whole(d, 3 * d), _whole(1, 3 * d), _whole(d, d), _whole(1, d),
-               _whole(1, d), _whole(1, d), _whole(1, d), _whole(1, d),
-               _whole(d, f), _whole(1, f), _whole(f, d), _whole(1, d)]
+    weights, w_specs = _pack_weights(params, dt, d, f)
 
     out_specs = [_full(s_pad, d)]
     out_shapes = [jax.ShapeDtypeStruct((bsz, s_pad, d), dt)]
@@ -507,26 +564,16 @@ def _vjp_bwd(num_heads, eps1, eps2, block, interpret, res, g):
     f = w1.shape[1]
     hd = d // num_heads
     s_pad = attn.shape[1]
-    # the backward prefers bigger key blocks (fewer loop trips, same VMEM
-    # ballpark: measured 9.10 -> 8.74 ms at the canonical shape); it may
-    # tile independently of the forward since all saved rows are row-granular
-    if s_pad % (2 * block) == 0:
-        block = 2 * block
+    # the backward may tile independently of the forward since all saved
+    # rows are row-granular
+    block = _bwd_block(block, s_pad)
     scale = 1.0 / (hd ** 0.5)
     dt = x.dtype
     xp = _pad_seq(x, s_pad)
     dy = _pad_seq(g.astype(dt), s_pad)
     vl = valid_len.astype(jnp.int32)
 
-    row = lambda a: a.reshape(1, -1).astype(dt)
-    frow = lambda a: a.reshape(1, -1)
-    weights = (wqkv.astype(dt), row(bqkv), wout.astype(dt), row(bout),
-               frow(g1), frow(b1), frow(g2), frow(b2),
-               w1.astype(dt), row(b1f), w2.astype(dt), row(b2f))
-    w_specs = [_whole(d, 3 * d), _whole(1, 3 * d), _whole(d, d), _whole(1, d),
-               _whole(1, d), _whole(1, d), _whole(1, d), _whole(1, d),
-               _whole(d, f), _whole(1, f), _whole(f, d), _whole(1, d)]
-
+    weights, w_specs = _pack_weights(params, dt, d, f)
     gshapes = [(d, 3 * d), (1, 3 * d), (d, d), (1, d), (1, d), (1, d),
                (1, d), (1, d), (d, f), (1, f), (f, d), (1, d)]
     grad_specs = [_whole(*sh) for sh in gshapes]
