@@ -133,3 +133,39 @@ def test_bf16_runs_finite():
                               H, EPS, EPS, BLOCK, True)
     assert out.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_grad_parity_with_partial_tail_cotangent():
+    """Rows beyond valid_len inside a PARTIALLY-valid block still compute a
+    real (masked-softmax) forward, so a loss that includes them must produce
+    the same gradients as the unfused layer; rows in FULLY-invalid blocks are
+    zero-filled by convention and are excluded."""
+    layer, params, x, vl, mask = _build()
+    # include everything up to each row's block-rounded valid length
+    vl_np = np.asarray(vl)
+    upto = ((vl_np + BLOCK - 1) // BLOCK) * BLOCK
+    w = (np.arange(S)[None, :] < upto[:, None]).astype(np.float32)[:, :, None]
+    w = jnp.asarray(w)
+    tgt = jnp.asarray(np.random.default_rng(7).standard_normal((B, S, D)),
+                      jnp.float32)
+
+    def loss_ref(x, params):
+        y = layer.apply({"params": params}, x, mask, valid_len=vl)
+        return jnp.sum((w * (y.astype(jnp.float32) - tgt)) ** 2)
+
+    def loss_fused(x, params):
+        y = _fused(x, vl, params)
+        return jnp.sum((w * (y.astype(jnp.float32) - tgt)) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(g_fus[0]), np.asarray(g_ref[0]),
+                               rtol=5e-4, atol=5e-4, err_msg="dx")
+    ref_leaves = jax.tree_util.tree_leaves_with_path(g_ref[1])
+    fus_leaves = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(g_fus[1])}
+    for k, v_ref in ref_leaves:
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(fus_leaves[key]),
+                                   np.asarray(v_ref),
+                                   rtol=1e-3, atol=1e-3, err_msg=key)
