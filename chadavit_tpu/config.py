@@ -251,8 +251,9 @@ def _num_classes(cfg: Config):
     if ds in N_CLASSES_PER_DATASET:
         cfg.data.num_classes = N_CLASSES_PER_DATASET[ds]
     elif ds == "synthetic":
-        # SyntheticChannels default label space (data/datasets.py)
-        cfg.data.num_classes = 7
+        from chadavit_tpu.data.datasets import SyntheticChannels
+
+        cfg.data.num_classes = SyntheticChannels.NUM_CLASSES
     else:
         train_path = cfg.data.get("train_path")
         n = 1

@@ -173,11 +173,16 @@ def prepare_data(
                                 **synth, **dataset_kwargs)
     # exact-width channel buckets: mixed-channel eval batches pad only to the
     # batch's true count instead of max_channels (features/targets stay paired;
-    # fixed-channel datasets see a single bucket and are unaffected)
+    # fixed-channel datasets see a single bucket and are unaffected). The
+    # SHUFFLED probe-training loader keeps full random mixing — bucketing
+    # would make every gradient minibatch channel-homogeneous, a silent
+    # training-dynamics change when channel count correlates with class.
     bk = dict(bucket_by_channels=bucket_by_channels, bucket_round=1)
+    bk_train = bk if val_transform_for_train else dict(bucket_by_channels=False)
     train_loader = HostLoader(train_ds, batch_size=batch_size, max_channels=max_channels,
                               num_workers=num_workers, seed=seed,
-                              shuffle=not val_transform_for_train, drop_last=False, **bk)
+                              shuffle=not val_transform_for_train, drop_last=False,
+                              **bk_train)
     val_loader = None
     if val_path is not None or dataset == "synthetic":
         val_ds = prepare_datasets(dataset, transform=t_val, train_path=val_path or train_path,

@@ -410,9 +410,11 @@ class SyntheticChannels:
     mimics raw 8-bit microscopy planes (values 0..255)."""
 
     task = "pretrain"
+    # default label space; the config parser reads this so the two can't drift
+    NUM_CLASSES = 7
 
     def __init__(self, n: int = 256, img_size: int = 224, min_channels: int = 1,
-                 max_channels: int = 10, num_classes: int = 7,
+                 max_channels: int = 10, num_classes: int = NUM_CLASSES,
                  transform: Optional[Callable] = None, seed: int = 0,
                  dtype=np.float32):
         self.n, self.img_size = n, img_size

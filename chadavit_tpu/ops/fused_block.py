@@ -32,9 +32,11 @@ ops/flash_attention.py. Reference semantics: torch TransformerEncoderLayer
 (norm_first=False) as used at reference chada_vit.py:96-100,160.
 
 Query/key positions beyond ``valid_len`` follow the flash-attention contract:
-keys are masked additively; fully-invalid query blocks write zeros + lse=+BIG
-so the backward's p_t underflows to 0; partially-valid query rows self-cancel
-in the backward because their cotangent is identically zero.
+keys are masked additively; fully-invalid blocks are skipped in every phase
+(the forward writes finite zeros + lse=+BIG there, the backward zero-fills),
+so gradients stay exact for ANY upstream cotangent. Partially-valid tail rows
+compute the real masked-softmax forward and its true backward (tested against
+the unfused layer with nonzero tail cotangents).
 """
 
 from __future__ import annotations
@@ -481,9 +483,8 @@ def vmem_estimate(s_pad: int, d: int, f: int, num_heads: int, block: int,
 
 def _run_fwd(x, valid_len, params, num_heads, eps1, eps2, block, interpret,
              save):
-    (wqkv, bqkv, wout, bout, g1, b1, g2, b2, w1, b1f, w2, b2f) = params
     bsz, s, d = x.shape
-    f = w1.shape[1]
+    f = params[8].shape[1]  # w1 (D, F)
     hd = d // num_heads
     s_pad = ((s + block - 1) // block) * block
     scale = 1.0 / (hd ** 0.5)
