@@ -46,17 +46,29 @@ def build_and_trace(width: int, batch: int, steps: int, logdir: str):
         warmup_epochs=10,
         dtype=jnp.bfloat16,
     )
-    state, step, _, _ = build_dino(spec, mesh=make_mesh(n_model=1))
-    device_aug = make_multicrop_fn(ASYMMETRIC_AUGS, dtype=spec.dtype)
+    # CHADAVIT_PROFILE_FUSED_AUG=1 profiles the production single-dispatch
+    # program (augmentation compiled into the step, as bench.py runs it)
+    fused_aug = os.environ.get("CHADAVIT_PROFILE_FUSED_AUG", "0") == "1"
+    state, step, _, _ = build_dino(
+        spec, mesh=make_mesh(n_model=1),
+        device_augmentations=ASYMMETRIC_AUGS if fused_aug else None)
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.integers(0, 255, (batch, width, 224, 224), dtype=np.uint8))
     counts = jnp.asarray(rng.integers(max(1, width - 1), width + 1, (batch,), dtype=np.int32))
     aug_rng = jax.random.PRNGKey(0)
 
-    def run_one(rng_, st):
-        out = device_aug(rng_, imgs, counts)
-        return step(st, {"crops": out["crops"], "channel_counts": out["channel_counts"]})
+    if fused_aug:
+        def run_one(rng_, st):
+            return step(st, {"images": imgs, "channel_counts": counts,
+                             "rng": rng_})
+    else:
+        device_aug = make_multicrop_fn(ASYMMETRIC_AUGS, dtype=spec.dtype)
+
+        def run_one(rng_, st):
+            out = device_aug(rng_, imgs, counts)
+            return step(st, {"crops": out["crops"],
+                             "channel_counts": out["channel_counts"]})
 
     # warmup/compile
     for _ in range(2):

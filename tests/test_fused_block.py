@@ -169,3 +169,17 @@ def test_grad_parity_with_partial_tail_cotangent():
         np.testing.assert_allclose(np.asarray(fus_leaves[key]),
                                    np.asarray(v_ref),
                                    rtol=1e-3, atol=1e-3, err_msg=key)
+
+
+def test_vmem_gate_rejects_large_models():
+    """The fused-path gate must reject the ViT-Base-shaped layer (whose
+    backward scratch exceeds the VMEM budget) and accept the canonical one,
+    with the backward's doubled key block included in the estimate."""
+    from chadavit_tpu.ops.fused_block import (
+        DEFAULT_BLOCK, VMEM_BYTES, _bwd_block, vmem_estimate)
+
+    assert _bwd_block(256, 2048) == 512   # doubles when it divides
+    assert _bwd_block(256, 1792) == 256   # 1792 % 512 != 0
+    # canonical chadavit16-moyen fits; ChAdaViT-B/16 must not
+    assert vmem_estimate(2048, 192, 2048, 2, DEFAULT_BLOCK, 2) <= VMEM_BYTES
+    assert vmem_estimate(2048, 768, 2048, 12, DEFAULT_BLOCK, 2) > VMEM_BYTES
