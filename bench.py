@@ -32,6 +32,10 @@ V5E_PEAK_FLOPS = 197e12  # bf16 peak per v5e chip
 
 BATCH = int(os.environ.get("CHADAVIT_BENCH_BATCH", 32))
 STEPS = int(os.environ.get("CHADAVIT_BENCH_STEPS", 40))  # timed steps across bucket widths
+# disk-decode phase: run the SAME timed step fed from on-disk PNG planes
+# through the C++ batch decoder (the production IDRCell100k path). "0" skips.
+DISK = os.environ.get("CHADAVIT_BENCH_DISK", "1") != "0"
+DISK_ROOT = os.environ.get("CHADAVIT_BENCH_DISK_ROOT", "/tmp/chadavit_disk_bench_v1")
 
 # the canonical 2-view asymmetric recipe
 # (reference scripts/knn/bbbc048/augmentations/asymmetric.yaml)
@@ -192,6 +196,65 @@ def main():
     except Exception as e:  # pragma: no cover - profiling is best-effort
         print(f"device-trace pass skipped: {e}", file=sys.stderr)
 
+    # ---- disk-decode phase: identical step, batches decoded from on-disk
+    # PNG planes by the C++ batch loader (native_batch_fn) — proves the host
+    # pipeline feeds the chip with decode in the loop (VERDICT r2 item #1)
+    disk_wall_img_s = disk_planes_s = None
+    if DISK:
+        try:
+            from chadavit_tpu.data import native
+
+            if not native.is_available():
+                raise RuntimeError(f"native loader unavailable: {native.build_error()}")
+            marker = os.path.join(DISK_ROOT, ".complete")
+            n_disk = (STEPS + 10) * BATCH
+            if not os.path.exists(marker):
+                sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+                from generate_disk_dataset import generate
+
+                print(f"generating disk dataset ({n_disk} images)...", file=sys.stderr)
+                generate(DISK_ROOT, n_disk, workers=4, seed=3)
+                open(marker, "w").close()
+            from chadavit_tpu.data.datasets import IDRCell100K
+
+            disk_ds = IDRCell100K(DISK_ROOT, train=True)
+
+            def batch_fn(idxs, width, _ds=disk_ds):
+                images, counts = native.load_dense_batch_raw(
+                    [_ds.file_list[int(i)][2] for i in idxs], width, 224, 224,
+                    num_threads=2, out_depth=8)
+                return {"images": images, "channel_counts": counts,
+                        "labels": np.full(len(idxs), -1, np.int32)}
+
+            disk_loader = HostLoader(disk_ds, batch_size=BATCH, max_channels=10,
+                                     num_workers=2, seed=0, bucket_by_channels=True,
+                                     bucket_round=1, native_batch_fn=batch_fn)
+            # host-only rate first (also warms the page cache)
+            t0 = time.time()
+            n_planes = sum(int(b["channel_counts"].sum()) for b in disk_loader)
+            disk_planes_s = n_planes / (time.time() - t0)
+            print(f"host-only disk decode: {disk_planes_s:.0f} planes/s",
+                  file=sys.stderr, flush=True)
+            # end-to-end: decode + transfer + augment + train, widths already
+            # compiled by the synthetic phase (same 1-10 bucket widths)
+            best = None
+            for r in range(max(2, REPEATS - 2)):
+                disk_loader.set_epoch(0)  # identical batch order each repeat
+                t0 = time.time()
+                n_i = 0
+                for b in disk_loader:
+                    aug_rng, sub = jax.random.split(aug_rng)
+                    state, m = run_one(sub, b)
+                    n_i += len(b["labels"])
+                _ = float(m["dino_loss"])  # hard sync
+                dtd = time.time() - t0
+                best = min(best, dtd) if best else dtd
+                print(f"disk repeat {r}: {dtd:.2f}s ({n_i / dtd:.1f} img/s)",
+                      file=sys.stderr, flush=True)
+            disk_wall_img_s = n_i / best
+        except Exception as e:  # pragma: no cover - keep the core bench robust
+            print(f"disk-decode phase skipped: {e}", file=sys.stderr)
+
     n_chips = max(len(jax.devices()), 1)
     img_s_chip = n_img / dt / n_chips
     mfu = flops / dt / n_chips / V5E_PEAK_FLOPS
@@ -209,6 +272,10 @@ def main():
         out["device_img_s_per_chip"] = round(dev_img_s / n_chips, 2)
         out["device_mfu"] = round(flops / (n_img / dev_img_s) / n_chips
                                   / V5E_PEAK_FLOPS, 4)
+    if disk_wall_img_s is not None:
+        out["disk_wall_img_s_per_chip"] = round(disk_wall_img_s / n_chips, 2)
+        out["disk_decode_planes_per_s"] = round(disk_planes_s, 1)
+        out["disk_pipeline"] = "PNG decode (C++ batch) -> uint8 transfer -> fused augment+step"
     print(json.dumps(out))
 
 

@@ -136,7 +136,14 @@ def prepare_data(
     shorter-side/square resize + center crop + [0,1] normalization all run in
     the C++ threadpool, following the same per-dataset EVAL_PROTOCOLS rows as
     the host path (both resize bilinearly, matching the reference's val
-    interpolation)."""
+    interpolation).
+
+    Note: with ``bucket_by_channels=True`` (default) mixed-channel EVAL loaders
+    group batches by channel count, so batch order differs from dataset index
+    order. Per-batch (feature, target) pairs stay aligned; callers that need to
+    map concatenated outputs back to dataset order should construct the loader
+    with ``emit_index=True`` (adds an ``"index"`` key per batch) or pass
+    ``bucket_by_channels=False``."""
     if native_loader and val_transform_for_train:
         from chadavit_tpu.data import native
 

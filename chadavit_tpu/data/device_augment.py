@@ -3,7 +3,7 @@ NVIDIA DALI GPU pipeline (reference ``src/data/dali_dataloader.py:38-178,453-591
 
 The host decodes raw images once (C++ loader); everything else — random
 resized crop, per-channel color jitter, grayscale, gaussian blur, solarization,
-flip, normalize — runs as ONE jitted function over the dense
+equalization, flip, normalize — runs as ONE jitted function over the dense
 ``(B, C_max, H, W)`` batch, fused by XLA on the accelerator. Multi-crop SSL
 views come from a single call returning ``(num_crops, B, C_max, S, S)``.
 
@@ -154,6 +154,36 @@ def solarize(rng: Array, images: Array, p: float = 0.0, threshold: float = 0.5) 
     return jnp.where(apply, sol, images)
 
 
+def equalize(rng: Array, images: Array, channel_counts: Array, p: float = 0.0,
+             bins: int = 256) -> Array:
+    """Per-channel histogram equalization on [0,1] (device port of the host
+    :class:`chadavit_tpu.data.transforms.Equalization`; reference
+    ``pretrain_dataloader.py:128-131`` / A.Equalize).
+
+    Replicates the host op's two indexings exactly: histogram bins are
+    ``floor(clip(v)*bins)`` capped at ``bins-1`` (np.histogram semantics) while
+    the CDF lookup uses ``floor(v*(bins-1))`` clipped. Padded channel planes
+    would equalize to all-ones (their mass sits in bin 0), so they are
+    re-zeroed from ``channel_counts`` to keep the analytic mask valid."""
+    b, c, h, w = images.shape
+    apply = jax.random.bernoulli(rng, p, (b, 1, 1, 1))
+    clipped = jnp.clip(images, 0.0, 1.0)
+    hist_idx = jnp.minimum((clipped * bins).astype(jnp.int32), bins - 1)
+    flat_hist = hist_idx.reshape(b * c, h * w)
+    seg = flat_hist + (jnp.arange(b * c, dtype=jnp.int32) * bins)[:, None]
+    hist = jax.ops.segment_sum(
+        jnp.ones((b * c * h * w,), jnp.float32), seg.ravel(),
+        num_segments=b * c * bins).reshape(b * c, bins)
+    cdf = jnp.cumsum(hist, axis=1)
+    cdf = cdf / cdf[:, -1:]  # total mass = H*W, always > 0
+    look_idx = jnp.clip((images * (bins - 1)).astype(jnp.int32), 0, bins - 1)
+    out = jnp.take_along_axis(cdf, look_idx.reshape(b * c, h * w), axis=1)
+    out = out.reshape(b, c, h, w).astype(images.dtype)
+    valid = (jnp.arange(c) < channel_counts[:, None])[:, :, None, None]
+    out = jnp.where(valid, out, 0.0)
+    return jnp.where(apply, out, images)
+
+
 def normalize(images: Array, mean: Sequence[float], std: Sequence[float]) -> Array:
     c = images.shape[1]
     m = jnp.resize(jnp.asarray(mean, images.dtype), (c,))[None, :, None, None]
@@ -175,12 +205,13 @@ class DeviceAugmentPipeline:
         self.gray = (g("grayscale", {}) or {}).get("prob", 0)
         self.blur = (g("gaussian_blur", {}) or {}).get("prob", 0)
         self.sol = (g("solarization", {}) or {}).get("prob", 0)
+        self.eq = (g("equalization", {}) or {}).get("prob", 0)
         self.flip = (g("horizontal_flip", {}) or {}).get("prob", 0)
         norm = g("normalize", None)
         self.norm = (norm.get("mean", [0.0]), norm.get("std", [1.0])) if norm else None
 
     def __call__(self, rng: Array, images: Array, channel_counts: Array) -> Array:
-        keys = jax.random.split(rng, 6)
+        keys = jax.random.split(rng, 7)
         if self.rrc_enabled:
             x = random_resized_crop(keys[0], images, self.size, scale=self.rrc_scale)
         else:
@@ -193,6 +224,8 @@ class DeviceAugmentPipeline:
             x = gaussian_blur(keys[3], x, p=self.blur)
         if self.sol:
             x = solarize(keys[4], x, p=self.sol)
+        if self.eq:
+            x = equalize(keys[6], x, channel_counts, p=self.eq)
         if self.flip:
             x = horizontal_flip(keys[5], x, p=self.flip)
         if self.norm:

@@ -76,6 +76,13 @@ def _load():
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.chada_decode_plane_raw.restype = ctypes.c_int
+        lib.chada_load_dense_batch_raw.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.chada_load_dense_batch_raw.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -166,6 +173,47 @@ def load_dense_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads, scale, int(resize_mode), int(resize_size), int(normalize),
+    )
+    if failures:
+        raise RuntimeError(f"{failures} plane(s) failed to decode")
+    return out, counts
+
+
+def load_dense_batch_raw(
+    channel_paths: Sequence[Sequence[str]],
+    max_channels: int,
+    height: int,
+    width: int,
+    num_threads: int = 4,
+    out_depth: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a batch straight into the dense RAW integer ``(B, C_max, H, W)``
+    layout (uint8 when ``out_depth=8``, uint16 when 16) — the production
+    pretrain transfer path: 1-2 bytes/pixel to the device, normalization and
+    augmentation on device (reference DALI pipeline role,
+    ``dali_dataloader.py:453-591``). Size-matching planes are straight decoder
+    memcpys (no float round-trip); mismatches bilinear-resize; 8<->16-bit
+    sources rescale to ``out_depth``. Returns (batch, channel_counts)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_build_error}")
+    b = len(channel_paths)
+    flat: List[bytes] = []
+    offsets = np.zeros(b + 1, np.int64)
+    for i, paths in enumerate(channel_paths):
+        flat.extend(p.encode() for p in paths)
+        offsets[i + 1] = len(flat)
+    c_paths = (ctypes.c_char_p * len(flat))(*flat)
+    dtype = np.uint16 if out_depth == 16 else np.uint8
+    out = np.zeros((b, max_channels, height, width), dtype)
+    counts = np.zeros(b, np.int32)
+    failures = lib.chada_load_dense_batch_raw(
+        c_paths,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        b, max_channels, height, width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads, int(out_depth),
     )
     if failures:
         raise RuntimeError(f"{failures} plane(s) failed to decode")

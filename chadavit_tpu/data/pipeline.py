@@ -112,6 +112,8 @@ class HostLoader:
         bucket_by_channels: bool = False,
         bucket_round: int = 2,
         dtype=np.float32,
+        emit_index: bool = False,
+        native_batch_fn: Optional[Callable] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -134,6 +136,14 @@ class HostLoader:
         # prefix kernel). Requires dataset.channel_count(i).
         self.bucket_by_channels = bucket_by_channels and hasattr(dataset, "channel_count")
         self.bucket_round = bucket_round
+        # bucketing REORDERS batches relative to dataset index order (stable
+        # sort by channel count); emit_index adds an "index" key so callers
+        # that concatenate per-batch outputs can map them back to dataset order
+        self.emit_index = emit_index
+        # optional whole-batch fast path: fn(idxs, width) -> batch dict, decoded
+        # entirely in the C++ threadpool (bypasses per-sample __getitem__ +
+        # collate; the GIL is released for the whole batch)
+        self.native_batch_fn = native_batch_fn
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -180,12 +190,19 @@ class HostLoader:
                             bi, idxs = next(idx_iter)
                         except StopIteration:
                             return
-                    samples = [self.dataset[int(i)] for i in idxs]
-                    if self.bucket_by_channels and self._user_collate is None:
+                    if self.native_batch_fn is not None:
+                        width = (self._bucket_width(idxs)
+                                 if self.bucket_by_channels else self.max_channels)
+                        batch = self.native_batch_fn(idxs, width)
+                    elif self.bucket_by_channels and self._user_collate is None:
+                        samples = [self.dataset[int(i)] for i in idxs]
                         batch = dense_collate(samples, self._bucket_width(idxs),
                                               self._channels_last, self._dtype)
                     else:
+                        samples = [self.dataset[int(i)] for i in idxs]
                         batch = self.collate_fn(samples)
+                    if self.emit_index and isinstance(batch, dict):
+                        batch["index"] = np.asarray(idxs, np.int64)
                     # emit strictly in batch order; puts stay inside the lock so
                     # two workers cannot interleave their ready prefixes
                     with res_lock:

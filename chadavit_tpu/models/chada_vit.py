@@ -155,7 +155,10 @@ class EncoderLayer(nn.Module):
     attn_impl: str = "auto"
     ln_impl: str = "auto"
     # "auto" (fused Pallas layer kernel on TPU when it applies), "fused"
-    # (force, interpreted off-TPU), or "xla" (the unfused reference path)
+    # (force, interpreted off-TPU), or "xla" (the unfused reference path).
+    # "auto" keys off jax.default_backend() at TRACE time; when lowering for a
+    # non-default backend (jit(..., backend=...) or AOT cross-lowering) set
+    # block_impl="xla" explicitly — the trace-time probe cannot see the target.
     block_impl: str = "auto"
 
     @nn.compact
@@ -181,11 +184,12 @@ class EncoderLayer(nn.Module):
             from chadavit_tpu.ops import fused_block
 
             on_tpu = jax.default_backend() == "tpu"
-            s_pad = -(-x.shape[1] // fused_block.DEFAULT_BLOCK) * fused_block.DEFAULT_BLOCK
+            blk = fused_block.pick_block(x.shape[1])
+            s_pad = -(-x.shape[1] // blk) * blk
             fits = (d % self.num_heads == 0 and (d // self.num_heads) % 8 == 0
                     and fused_block.vmem_estimate(
                         s_pad, d, self.ffn_dim, self.num_heads,
-                        fused_block.DEFAULT_BLOCK, jnp.dtype(self.dtype).itemsize)
+                        blk, jnp.dtype(self.dtype).itemsize)
                     <= fused_block.VMEM_BYTES)
             if fits and (self.block_impl == "fused" or on_tpu):
                 p = self.variables["params"]
@@ -197,7 +201,7 @@ class EncoderLayer(nn.Module):
                     p["linear1"]["kernel"], p["linear1"]["bias"],
                     p["linear2"]["kernel"], p["linear2"]["bias"],
                     self.num_heads, self.layer_norm_eps, self.layer_norm_eps,
-                    fused_block.DEFAULT_BLOCK, not on_tpu,
+                    blk, not on_tpu,
                 )
 
         def ln(v, scale, bias, residual=None):
@@ -281,7 +285,10 @@ class ChAdaViT(nn.Module):
     # pad the token sequence (1 + C_max*N = 1961 canonically) up to a multiple
     # of this so every matmul/kernel tiles cleanly on (8,128) hardware tiles;
     # extra positions are masked and sliced off. 0 disables.
-    seq_pad_multiple: int = 256
+    # pad token sequences to this multiple before the encoder stack; 128
+    # (not 256) because 1+196c lands on odd 128-multiples for c in {3,7,9}
+    # and the kernels take 128-blocks there (see flash_attention.pick_block)
+    seq_pad_multiple: int = 128
     patch_embed_conv: bool = True
     # "xla" (default) or "pallas": the fused tokenizer kernel (ops/tokenizer.py)
     # embeds+positions+channel-tags each plane in one VMEM pass; differentiable
@@ -435,6 +442,12 @@ class ChAdaViT(nn.Module):
             ``(tokens (B, C_max*N, D), valid (B, C_max*N))`` where ``valid`` marks
             real (non-padded) tokens, matching the reference's ragged
             ``return_all_tokens`` output once filtered.
+
+        Padded positions (``valid == False``) are NOT contractual: the fused
+        block kernel zero-fills rows in fully-invalid sequence blocks while the
+        unfused path computes (deterministic but meaningless) values there, so
+        the two ``block_impl`` settings differ at padded positions. Consumers
+        must filter by ``valid`` before using the token tensor.
         """
         emb, mask = self.tokenize(x, channel_counts, deterministic=deterministic)
         n = self.num_patches
@@ -518,7 +531,7 @@ def chada_vit(**kwargs) -> ChAdaViT:
         attn_impl=kwargs.get("attn_impl", "auto"),
         ln_impl=kwargs.get("ln_impl", "auto"),
         block_impl=kwargs.get("block_impl", "auto"),
-        seq_pad_multiple=kwargs.get("seq_pad_multiple", 256),
+        seq_pad_multiple=kwargs.get("seq_pad_multiple", 128),
         patch_embed_conv=kwargs.get("patch_embed_conv", True),
         tokenizer_impl=kwargs.get("tokenizer_impl", "xla"),
     )

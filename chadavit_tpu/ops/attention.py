@@ -93,9 +93,14 @@ def masked_multihead_attention(
     if impl == "pallas" and not return_weights and valid_len is not None:
         import os
 
-        from chadavit_tpu.ops.flash_attention import DEFAULT_BLOCK, prefix_flash_attention
+        from chadavit_tpu.ops.flash_attention import (
+            DEFAULT_BLOCK,
+            pick_block,
+            prefix_flash_attention,
+        )
 
-        block = int(os.environ.get("CHADAVIT_FLASH_BLOCK", DEFAULT_BLOCK))
+        env = os.environ.get("CHADAVIT_FLASH_BLOCK")
+        block = int(env) if env else pick_block(q.shape[1])
         out = prefix_flash_attention(q, k, v, valid_len, num_heads, block)
         return out, None
     return xla_masked_attention(q, k, v, key_padding_mask, num_heads, return_weights)

@@ -73,6 +73,24 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 DEFAULT_BLOCK = 256
+MIN_BLOCK = 128
+
+
+def pick_block(s: int, default: int = DEFAULT_BLOCK) -> int:
+    """Largest supported block size for a sequence of length ``s``.
+
+    The model pads sequences to 128-multiples (``ChAdaViT.seq_pad_multiple``);
+    ChAdaViT's 1 + 196c token counts often land on odd 128-multiples
+    (c=3: 640, c=7: 1408, c=9: 1792) where rounding up to a 256 grid would
+    waste 9-23% of the attention FLOPs in pure padding. Kernels therefore drop
+    to 128-blocks when 256 does not divide ``s``."""
+    if s % default == 0:
+        return default
+    if s % MIN_BLOCK == 0:
+        return MIN_BLOCK
+    return default
+
+
 _NEG_LARGE = -1e30
 _LOG2E = 1.4426950408889634
 LANES = 8

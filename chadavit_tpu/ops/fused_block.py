@@ -57,6 +57,7 @@ from chadavit_tpu.ops.flash_attention import (  # noqa: E402
     LANES,
     _LOG2E,
     _NEG_LARGE as _NEG,
+    pick_block,
 )
 
 # conservative per-core VMEM budget for the fused path; above it the caller

@@ -124,6 +124,32 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
         # normalize on device (1-2 bytes/pixel over the host->TPU link)
         probe = np.asarray(dataset[0][0])
         loader_kwargs = dict(channels_last=True, dtype=probe.dtype)
+        # disk-manifest datasets: decode whole batches in the C++ threadpool
+        # straight into the dense raw layout (no per-plane Python, GIL released
+        # for the batch) — the DALI-role production path
+        from chadavit_tpu.data import native as _native
+
+        base_size = cfg["augmentations"][0]["crop_size"] if cfg.get("augmentations") else 224
+        if (_native.is_available() and hasattr(dataset, "file_list")
+                and probe.dtype in (np.uint8, np.uint16)
+                and cfg.data.get("native_loader", True)):
+            out_depth = 16 if probe.dtype == np.uint16 else 8
+            n_threads = int(cfg.data.get("decode_threads", 4) or 4)
+            is_reg = getattr(dataset, "task", "") == "regression"
+
+            def _native_batch(idxs, width, _ds=dataset, _d=out_depth, _t=n_threads,
+                              _s=base_size, _reg=is_reg):
+                rows = [_ds.file_list[int(i)] for i in idxs]
+                images, counts = _native.load_dense_batch_raw(
+                    [r[2] for r in rows], width, _s, _s,
+                    num_threads=_t, out_depth=_d)
+                labels = np.asarray(
+                    [float(r[1]) if _reg else int(r[1]) for r in rows],
+                    np.float32 if _reg else np.int32)
+                return {"images": images, "channel_counts": counts,
+                        "labels": labels}
+
+            loader_kwargs["native_batch_fn"] = _native_batch
     return HostLoader(
         dataset,
         batch_size=cfg.optimizer.batch_size,

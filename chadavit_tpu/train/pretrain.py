@@ -121,8 +121,15 @@ def build_dino(
     if mesh is not None and dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
         # under tensor parallelism the per-layer weights are sharded on the
         # model axis; the fused whole-layer kernel needs them whole (GSPMD
-        # cannot partition the custom call), so fall back to the unfused path
-        bk.setdefault("block_impl", "xla")
+        # cannot partition the custom call), so force the unfused path even if
+        # the config asked for it explicitly ("auto"/"fused" would otherwise
+        # trigger per-layer weight all-gathers or a compile failure)
+        if bk.get("block_impl") == "fused":
+            raise ValueError(
+                "block_impl='fused' is incompatible with model_parallel>1: the "
+                "fused layer kernel cannot be partitioned by GSPMD. Use "
+                "block_impl='xla' (or 'auto', which falls back) under TP meshes.")
+        bk["block_impl"] = "xla"
     is_chada = spec.backbone in ("vit_channels", "chada_vit")
     if not is_chada:
         bk.pop("return_all_tokens", None)

@@ -86,10 +86,8 @@ def main(argv=None):
     img = img[:h, :w]
     x = jnp.asarray(img)[None, None]  # (1, 1, H, W)
 
-    if cfg.backbone.name in ("vit_channels", "chada_vit"):
-        attn = model.apply({"params": params}, x, method="get_last_selfattention")
-    else:
-        attn = model.apply({"params": params}, x, method="get_last_selfattention")
+    # both ChAdaViT and plain ViT expose the same get_last_selfattention method
+    attn = model.apply({"params": params}, x, method="get_last_selfattention")
     attn = np.asarray(attn)  # (1, heads, S, S)
     nh = attn.shape[1]
     gh, gw = h // patch, w // patch

@@ -48,9 +48,19 @@ struct Plane {
   bool ok = false;
 };
 
+// raw-bytes variant: pixels in the source integer dtype (u8 / LE u16; depth 32
+// stores IEEE floats) — the zero-conversion path for the uint8/uint16
+// host->device transfer layout (decode never touches float for 8/16-bit files)
+struct RawPlane {
+  std::vector<uint8_t> bytes;
+  int w = 0, h = 0;
+  int depth = 8;
+  bool ok = false;
+};
+
 // ---------------------------------------------------------------- PNG ----
-Plane decode_png(FILE* f) {
-  Plane out;
+RawPlane decode_png_raw(FILE* f) {
+  RawPlane out;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) return out;
   png_infop info = png_create_info_struct(png);
@@ -84,22 +94,25 @@ Plane decode_png(FILE* f) {
 
   bit_depth = png_get_bit_depth(png, info);
   const size_t rowbytes = png_get_rowbytes(png, info);
-  std::vector<uint8_t> raw(rowbytes * h);
+  const size_t px = (size_t)(bit_depth == 16 ? 2 : 1);
+  out.bytes.resize((size_t)w * h * px);
   std::vector<png_bytep> rows(h);
-  for (png_uint_32 y = 0; y < h; ++y) rows[y] = raw.data() + y * rowbytes;
-  png_read_image(png, rows.data());
+  if (rowbytes == w * px) {  // gray rows are tightly packed: read in place
+    for (png_uint_32 y = 0; y < h; ++y) rows[y] = out.bytes.data() + (size_t)y * rowbytes;
+    png_read_image(png, rows.data());
+  } else {  // defensive: unexpected padding, bounce through a scratch buffer
+    std::vector<uint8_t> raw(rowbytes * h);
+    for (png_uint_32 y = 0; y < h; ++y) rows[y] = raw.data() + (size_t)y * rowbytes;
+    png_read_image(png, rows.data());
+    for (png_uint_32 y = 0; y < h; ++y)
+      std::memcpy(out.bytes.data() + (size_t)y * w * px, raw.data() + (size_t)y * rowbytes,
+                  w * px);
+  }
   png_destroy_read_struct(&png, &info, nullptr);
 
   out.w = (int)w;
   out.h = (int)h;
   out.depth = bit_depth == 16 ? 16 : 8;
-  out.data.resize((size_t)w * h);
-  if (bit_depth == 16) {
-    const uint16_t* p = reinterpret_cast<const uint16_t*>(raw.data());
-    for (size_t i = 0; i < out.data.size(); ++i) out.data[i] = (float)p[i];
-  } else {
-    for (size_t i = 0; i < out.data.size(); ++i) out.data[i] = (float)raw[i];
-  }
   out.ok = true;
   return out;
 }
@@ -186,8 +199,8 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 
-Plane decode_jpeg(FILE* f) {
-  Plane out;
+RawPlane decode_jpeg_raw(FILE* f) {
+  RawPlane out;
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -203,15 +216,11 @@ Plane decode_jpeg(FILE* f) {
   jpeg_start_decompress(&cinfo);
   out.w = cinfo.output_width;
   out.h = cinfo.output_height;
-  out.data.resize((size_t)out.w * out.h);
-  std::vector<uint8_t> row(out.w);
-  JSAMPROW rp = row.data();
-  int y = 0;
+  out.depth = 8;
+  out.bytes.resize((size_t)out.w * out.h);
   while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW rp = out.bytes.data() + (size_t)cinfo.output_scanline * out.w;
     jpeg_read_scanlines(&cinfo, &rp, 1);
-    float* dst = out.data.data() + (size_t)y * out.w;
-    for (int x = 0; x < out.w; ++x) dst[x] = (float)row[x];
-    ++y;
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
@@ -219,8 +228,89 @@ Plane decode_jpeg(FILE* f) {
   return out;
 }
 
-Plane decode_file(const char* path) {
-  Plane out;
+// float <- raw conversion (for the legacy float entry points)
+Plane plane_from_raw(RawPlane&& r) {
+  Plane p;
+  if (!r.ok) return p;
+  p.w = r.w;
+  p.h = r.h;
+  p.depth = r.depth;
+  const size_t n = (size_t)r.w * r.h;
+  p.data.resize(n);
+  if (r.depth == 16) {
+    const uint16_t* s = reinterpret_cast<const uint16_t*>(r.bytes.data());
+    for (size_t i = 0; i < n; ++i) p.data[i] = (float)s[i];
+  } else if (r.depth == 32) {
+    std::memcpy(p.data.data(), r.bytes.data(), n * sizeof(float));
+  } else {
+    for (size_t i = 0; i < n; ++i) p.data[i] = (float)r.bytes[i];
+  }
+  p.ok = true;
+  return p;
+}
+
+// raw <- float conversion (TIFF rgb->gray / float fallback path)
+RawPlane raw_from_plane(Plane&& p) {
+  RawPlane r;
+  if (!p.ok) return r;
+  r.w = p.w;
+  r.h = p.h;
+  r.depth = p.depth;
+  const size_t n = (size_t)p.w * p.h;
+  if (p.depth == 32) {
+    r.bytes.resize(n * sizeof(float));
+    std::memcpy(r.bytes.data(), p.data.data(), n * sizeof(float));
+  } else if (p.depth == 16) {
+    r.bytes.resize(n * 2);
+    uint16_t* d = reinterpret_cast<uint16_t*>(r.bytes.data());
+    for (size_t i = 0; i < n; ++i)
+      d[i] = (uint16_t)std::min(std::max(p.data[i], 0.0f), 65535.0f);
+  } else {
+    r.bytes.resize(n);
+    for (size_t i = 0; i < n; ++i)
+      r.bytes[i] = (uint8_t)std::min(std::max(p.data[i], 0.0f), 255.0f);
+  }
+  r.ok = true;
+  return r;
+}
+
+// TIFF raw fast path: single-sample 8/16-bit strips/tiles memcpy straight to
+// bytes (the microscopy layout); anything else bounces through the float path.
+RawPlane decode_tiff_raw(const char* path) {
+  RawPlane out;
+  TIFFSetErrorHandler(nullptr);
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return out;
+  uint32_t w = 0, h = 0;
+  uint16_t bits = 8, spp = 1, fmt = SAMPLEFORMAT_UINT;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bits);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLEFORMAT, &fmt);
+  const bool fast = w && h && spp == 1 && (bits == 8 || bits == 16) &&
+                    fmt != SAMPLEFORMAT_IEEEFP && !TIFFIsTiled(tif);
+  if (!fast) {
+    TIFFClose(tif);
+    return raw_from_plane(decode_tiff(path));
+  }
+  const size_t px = bits / 8;
+  out.w = (int)w;
+  out.h = (int)h;
+  out.depth = (int)bits;
+  out.bytes.resize((size_t)w * h * px);
+  bool ok = ((size_t)TIFFScanlineSize(tif) == (size_t)w * px);
+  for (uint32_t y = 0; ok && y < h; ++y)
+    if (TIFFReadScanline(tif, out.bytes.data() + (size_t)y * w * px, y) < 0) ok = false;
+  TIFFClose(tif);
+  out.ok = ok;
+  if (!ok) return raw_from_plane(decode_tiff(path));
+  return out;
+}
+
+RawPlane decode_file_raw(const char* path) {
+  RawPlane out;
   FILE* f = fopen(path, "rb");
   if (!f) return out;
   uint8_t magic[4] = {0};
@@ -230,19 +320,23 @@ Plane decode_file(const char* path) {
   }
   rewind(f);
   if (magic[0] == 0x89 && magic[1] == 'P') {
-    out = decode_png(f);
+    out = decode_png_raw(f);
     fclose(f);
   } else if (magic[0] == 0xFF && magic[1] == 0xD8) {
-    out = decode_jpeg(f);
+    out = decode_jpeg_raw(f);
     fclose(f);
   } else if ((magic[0] == 'I' && magic[1] == 'I' && magic[2] == 42) ||
              (magic[0] == 'M' && magic[1] == 'M' && magic[3] == 42)) {
     fclose(f);  // libtiff opens by path
-    out = decode_tiff(path);
+    out = decode_tiff_raw(path);
   } else {
     fclose(f);
   }
   return out;
+}
+
+Plane decode_file(const char* path) {
+  return plane_from_raw(decode_file_raw(path));
 }
 
 // bilinear resample (half-pixel centers) of a virtual (vh, vw) resize of src,
@@ -337,21 +431,92 @@ int chada_decode_plane(const char* path, float* out, long out_cap, int* w, int* 
 // (on-device normalization). 32f TIFF is not raw-representable -> -3.
 int chada_decode_plane_raw(const char* path, uint8_t* out, long out_cap_bytes,
                            int* w, int* h, int* depth) {
-  Plane p = decode_file(path);
+  RawPlane p = decode_file_raw(path);
   if (!p.ok) return -1;
   *w = p.w;
   *h = p.h;
   *depth = p.depth;
   if (p.depth == 32) return -3;
-  const long need = (long)p.data.size() * (p.depth / 8);
+  const long need = (long)p.bytes.size();
   if (need > out_cap_bytes) return -2;
-  if (p.depth == 16) {
-    uint16_t* o = reinterpret_cast<uint16_t*>(out);
-    for (size_t i = 0; i < p.data.size(); ++i) o[i] = (uint16_t)p.data[i];
-  } else {
-    for (size_t i = 0; i < p.data.size(); ++i) out[i] = (uint8_t)p.data[i];
-  }
+  std::memcpy(out, p.bytes.data(), p.bytes.size());
   return 0;
+}
+
+// Decode a whole batch into a dense (B, C_max, H, W) u8 or u16 (out_depth 8 /
+// 16) buffer — the raw-transfer training path (normalize-on-device). Planes
+// matching the target size and depth are straight memcpys from the decoder;
+// size mismatches take a float bilinear resize; depth mismatches rescale
+// (u8*257 <-> u16>>8). Padded channel planes are left untouched (caller
+// zero-fills once). Returns the number of failed planes.
+int chada_load_dense_batch_raw(const char** paths, const long* offsets, int batch,
+                               int max_channels, int th, int tw, uint8_t* out,
+                               int* counts, int num_threads, int out_depth) {
+  std::atomic<int> failures{0};
+  std::atomic<int> next{0};
+  const size_t opx = out_depth == 16 ? 2 : 1;
+  const size_t plane_bytes = (size_t)th * tw * opx;
+
+  auto work = [&]() {
+    std::vector<float> fsrc, fdst((size_t)th * tw);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= batch) return;
+      long s = offsets[i], e = offsets[i + 1];
+      int c = (int)std::min<long>(e - s, max_channels);
+      counts[i] = c;
+      for (int j = 0; j < c; ++j) {
+        RawPlane p = decode_file_raw(paths[s + j]);
+        uint8_t* dst = out + ((size_t)i * max_channels + j) * plane_bytes;
+        if (!p.ok || p.depth == 32) {
+          failures.fetch_add(1);
+          std::memset(dst, 0, plane_bytes);
+          continue;
+        }
+        if (p.w == tw && p.h == th) {
+          const size_t n = (size_t)th * tw;
+          if (p.depth == out_depth) {
+            std::memcpy(dst, p.bytes.data(), plane_bytes);
+          } else if (p.depth == 8) {  // u8 -> u16 (x257 maps 255 -> 65535)
+            uint16_t* o = reinterpret_cast<uint16_t*>(dst);
+            for (size_t k = 0; k < n; ++k) o[k] = (uint16_t)(p.bytes[k] * 257);
+          } else {  // u16 -> u8
+            const uint16_t* sp = reinterpret_cast<const uint16_t*>(p.bytes.data());
+            for (size_t k = 0; k < n; ++k) dst[k] = (uint8_t)(sp[k] >> 8);
+          }
+        } else {  // resize through float, then convert with depth rescale
+          const size_t n = (size_t)p.w * p.h;
+          fsrc.resize(n);
+          if (p.depth == 16) {
+            const uint16_t* sp = reinterpret_cast<const uint16_t*>(p.bytes.data());
+            for (size_t k = 0; k < n; ++k) fsrc[k] = (float)sp[k];
+          } else {
+            for (size_t k = 0; k < n; ++k) fsrc[k] = (float)p.bytes[k];
+          }
+          float sc = 1.0f;
+          if (p.depth == 8 && out_depth == 16) sc = 257.0f;
+          else if (p.depth == 16 && out_depth == 8) sc = 1.0f / 257.0f;
+          resize_bilinear(fsrc.data(), p.h, p.w, fdst.data(), th, tw, sc);
+          const size_t m = (size_t)th * tw;
+          if (out_depth == 16) {
+            uint16_t* o = reinterpret_cast<uint16_t*>(dst);
+            for (size_t k = 0; k < m; ++k)
+              o[k] = (uint16_t)std::min(std::max(fdst[k] + 0.5f, 0.0f), 65535.0f);
+          } else {
+            for (size_t k = 0; k < m; ++k)
+              dst[k] = (uint8_t)std::min(std::max(fdst[k] + 0.5f, 0.0f), 255.0f);
+          }
+        }
+      }
+    }
+  };
+
+  int nt = std::max(1, std::min(num_threads, batch));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
+  return failures.load();
 }
 
 // Decode + resize + scale a whole batch into a dense (B, C_max, H, W) float32

@@ -97,3 +97,30 @@ def test_b16_pod_config_parses():
     assert cfg.method_kwargs.num_prototypes == 65536
     # lr scaling rule applied: 0.3 * (16 * 8 * 1) / 256
     assert abs(cfg.optimizer.lr - 0.3 * 16 * 8 / 256) < 1e-9
+
+
+def test_config_zoo_parses():
+    """Every shipped scripts/{knn,linear,regression}/**.yaml parses through its
+    entry point's parser (the reference-schema contract,
+    reference scripts/** + src/args/*)."""
+    import glob
+    import os
+
+    from chadavit_tpu.config import (
+        load_yaml,
+        parse_knn_cfg,
+        parse_linear_cfg,
+        parse_regression_cfg,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    parsers = {"knn": parse_knn_cfg, "linear": parse_linear_cfg,
+               "regression": parse_regression_cfg}
+    n = 0
+    for kind, parser in parsers.items():
+        for path in glob.glob(os.path.join(root, kind, "*", "*.yaml")):
+            cfg = parser(load_yaml(path))
+            assert cfg.backbone.name == "vit_channels", path
+            assert cfg.data.num_classes is not None or kind == "regression", path
+            n += 1
+    assert n >= 11  # 5 knn + 5 linear + 2 regression (minus aug-composition files)

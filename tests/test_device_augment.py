@@ -149,3 +149,36 @@ def test_gaussian_blur_matches_conv():
     pad = np.pad(tmp, ((0, 0), (0, 0), (0, 0), (4, 4)))
     want = sum(k[t] * pad[:, :, :, t:t + 24] for t in range(9))
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_equalize_matches_host(rng):
+    """Device equalization == host transforms.Equalization on real channels,
+    zero on padded planes."""
+    from chadavit_tpu.data.device_augment import equalize
+    from chadavit_tpu.data.transforms import Equalization
+
+    imgs, cc = _batch(rng)
+    out = np.asarray(equalize(jax.random.PRNGKey(0), imgs, cc, p=1.0))
+
+    class _Always:
+        def random(self):
+            return 0.0
+
+    host = Equalization(p=1.0)
+    np_imgs = np.asarray(imgs)
+    for i, k in enumerate(np.asarray(cc)):
+        # host op takes HWC on real channels only
+        hwc = np.moveaxis(np_imgs[i, :k], 0, -1)
+        want = np.moveaxis(host(hwc, _Always()), -1, 0)
+        np.testing.assert_allclose(out[i, :k], want, atol=1e-6)
+        if k < out.shape[1]:
+            assert np.abs(out[i, k:]).max() == 0.0
+
+
+def test_equalize_in_pipeline_padding_safe(rng):
+    imgs, cc = _batch(rng)
+    pipe = DeviceAugmentPipeline(dict(AUG, equalization={"prob": 1.0}))
+    out = np.asarray(pipe(jax.random.PRNGKey(0), imgs, cc))
+    for i, k in enumerate(np.asarray(cc)):
+        if k < out.shape[1]:
+            assert np.abs(out[i, k:]).max() < 1e-5

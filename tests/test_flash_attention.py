@@ -112,3 +112,51 @@ def test_prefix_flash_head_grouping(rng):
     for name, a, b_ in zip("qkv", g_ref, g_out):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_pick_block():
+    from chadavit_tpu.ops.flash_attention import pick_block
+
+    assert pick_block(2048) == 256   # w=10 pad
+    assert pick_block(1792) == 256   # w=9: 7*256
+    assert pick_block(1408) == 128   # w=7: 11*128
+    assert pick_block(640) == 128    # w=3: 5*128
+    assert pick_block(512) == 256
+    assert pick_block(197) == 256    # non-multiple: kernel pads internally
+
+
+def test_prefix_flash_block128(rng):
+    """128-block kernels (the odd-128-multiple sequence path: w in {3,7})
+    match XLA forward and backward."""
+    counts = [3, 1, 2]
+    n, d, h = 196, 96, 2
+    cmax = 3  # s = 589 -> model pads to 640 = 5*128
+    q, k, v, valid_len, mask = _inputs(rng, counts, n, d, cmax)
+    s_pad = 640
+    q = jnp.pad(q, ((0, 0), (0, s_pad - q.shape[1]), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, s_pad - k.shape[1]), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, s_pad - v.shape[1]), (0, 0)))
+    mask = jnp.pad(mask, ((0, 0), (0, s_pad - mask.shape[1])), constant_values=True)
+
+    ref, _ = xla_masked_attention(q, k, v, mask, h)
+    out = prefix_flash_attention(q, k, v, valid_len, h, 128, True)
+    for i, vl in enumerate(np.asarray(valid_len)):
+        np.testing.assert_allclose(np.asarray(out)[i, :vl], np.asarray(ref)[i, :vl],
+                                   rtol=2e-5, atol=2e-5)
+
+    w = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    valid_cols = ~mask
+
+    def loss(attn_fn):
+        def f(q, k, v):
+            o = attn_fn(q, k, v)
+            return jnp.sum(jnp.where(valid_cols[..., None], o * w, 0.0))
+        return f
+
+    g_ref = jax.grad(loss(lambda q, k, v: xla_masked_attention(q, k, v, mask, h)[0]),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss(lambda q, k, v: prefix_flash_attention(q, k, v, valid_len, h, 128, True)),
+                     argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_ref, g_out):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")

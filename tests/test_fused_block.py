@@ -183,3 +183,46 @@ def test_vmem_gate_rejects_large_models():
     # canonical chadavit16-moyen fits; ChAdaViT-B/16 must not
     assert vmem_estimate(2048, 192, 2048, 2, DEFAULT_BLOCK, 2) <= VMEM_BYTES
     assert vmem_estimate(2048, 768, 2048, 12, DEFAULT_BLOCK, 2) > VMEM_BYTES
+
+
+def test_fused_block128_parity():
+    """block=128 (the odd-128-multiple path, e.g. w=3 -> s_pad 640): forward +
+    gradients match the unfused layer."""
+    rng = np.random.default_rng(4)
+    s, d, h, f = 640, 32, 2, 64
+    layer = EncoderLayer(embed_dim=d, num_heads=h, ffn_dim=f,
+                         layer_norm_eps=EPS, attn_impl="xla", ln_impl="xla")
+    x = jnp.asarray(rng.standard_normal((2, s, d)), jnp.float32)
+    vl = jnp.asarray([589, 197], jnp.int32)  # real 3-ch / 1-ch token counts
+    mask = jnp.arange(s)[None, :] >= vl[:, None]
+    params = layer.init(jax.random.PRNGKey(0), x, mask, valid_len=vl)["params"]
+
+    ref = layer.apply({"params": params}, x, mask, valid_len=vl)
+    out = fused_encoder_block(x, vl, *_flat(params), h, EPS, EPS, 128, True)
+    valid = ~np.asarray(mask)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(out)[i][valid[i]],
+                                   np.asarray(ref)[i][valid[i]],
+                                   rtol=2e-5, atol=2e-5)
+
+    w = jnp.where(mask[:, :, None], 0.0, 1.0)
+
+    def loss_ref(params, x):
+        return jnp.sum((layer.apply({"params": params}, x, mask, valid_len=vl) * w) ** 2)
+
+    def loss_fus(params, x):
+        return jnp.sum((fused_encoder_block(
+            x, vl, *_flat(params), h, EPS, EPS, 128, True) * w) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    g_fus = jax.grad(loss_fus, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(g_fus[1]), np.asarray(g_ref[1]),
+                               rtol=1e-3, atol=1e-4, err_msg="dx")
+    ref_leaves = jax.tree_util.tree_leaves_with_path(g_ref[0])
+    fus_leaves = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(g_fus[0])}
+    for k, v_ref in ref_leaves:
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(fus_leaves[key]),
+                                   np.asarray(v_ref),
+                                   rtol=1e-3, atol=1e-4, err_msg=key)

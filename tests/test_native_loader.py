@@ -214,3 +214,71 @@ def test_imread_tiff_and_unit_scale(tiff_dir):
     raw = load_channel_stack([paths[0]], raw=True)
     assert raw.dtype == np.uint16
     np.testing.assert_array_equal(raw[:, :, 0], files["gray16.tif"])
+
+
+def test_load_dense_batch_raw(image_dir, tiff_dir):
+    """Raw dense batch: native-size memcpy planes, depth rescale, resize path,
+    padding zeroed."""
+    d, files = image_dir
+    dt, tfiles = tiff_dir
+    paths = [
+        [str(d / "gray8.png")],                       # 30x40 u8 -> resize
+        [str(dt / "gray16.tif"), str(d / "gray8.png")],  # mixed depths
+    ]
+    out, counts = native.load_dense_batch_raw(paths, 3, 16, 16, out_depth=8)
+    assert out.dtype == np.uint8 and out.shape == (2, 3, 16, 16)
+    assert list(counts) == [1, 2]
+    assert (out[0, 1:] == 0).all() and (out[1, 2] == 0).all()
+    # resize parity vs the float batch path (same bilinear kernel)
+    f32, _ = native.load_dense_batch([paths[0]], 1, 16, 16)
+    np.testing.assert_allclose(out[0, 0].astype(np.float32), f32[0, 0],
+                               atol=0.51)  # rounding to u8
+
+    # u16 output: native-size u16 plane is exact; u8 source scales by 257
+    a16 = tfiles["gray16.tif"]
+    out16, _ = native.load_dense_batch_raw([[str(dt / "gray16.tif")]], 1,
+                                           a16.shape[0], a16.shape[1],
+                                           out_depth=16)
+    assert out16.dtype == np.uint16
+    np.testing.assert_array_equal(out16[0, 0], a16)
+    a8 = files["gray8.png"].astype(np.uint16)
+    out8as16, _ = native.load_dense_batch_raw([[str(d / "gray8.png")]], 1,
+                                              30, 40, out_depth=16)
+    np.testing.assert_array_equal(out8as16[0, 0], a8 * 257)
+
+
+def test_native_batch_fn_in_hostloader(image_dir):
+    """HostLoader with a native_batch_fn bypasses per-sample decode and honors
+    channel bucketing widths."""
+    from chadavit_tpu.data.pipeline import HostLoader
+
+    d, _ = image_dir
+    rows = [("a", -1, [str(d / "gray8.png")]),
+            ("b", -1, [str(d / "gray8.png"), str(d / "gray8.png")])] * 3
+
+    class DS:
+        file_list = rows
+
+        def __len__(self):
+            return len(rows)
+
+        def channel_count(self, i):
+            return len(rows[i][2])
+
+        def __getitem__(self, i):  # must NOT be called on the native path
+            raise AssertionError("per-sample path used")
+
+    def batch_fn(idxs, width):
+        images, counts = native.load_dense_batch_raw(
+            [rows[int(i)][2] for i in idxs], width, 8, 8, out_depth=8)
+        return {"images": images, "channel_counts": counts,
+                "labels": np.full(len(idxs), -1, np.int32)}
+
+    loader = HostLoader(DS(), batch_size=2, max_channels=4, shuffle=False,
+                        drop_last=False, bucket_by_channels=True, bucket_round=1,
+                        native_batch_fn=batch_fn)
+    batches = list(loader)
+    assert len(batches) == 3
+    widths = sorted(b["images"].shape[1] for b in batches)
+    assert widths == [1, 2, 2]  # exact-width buckets: 1-ch batch, two 2-ch
+    assert all(b["images"].dtype == np.uint8 for b in batches)
