@@ -50,7 +50,24 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
     return cfg
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache shared by every entry point.
+
+    Production runs are routinely restarted (preemption + auto-resume); without
+    this, each restart re-pays the full remote compile of the train/eval
+    programs (minutes per (shape, config) on tunneled TPUs). Directory override:
+    ``CHADAVIT_COMPILE_CACHE`` (same default as bench.py / profile tooling)."""
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("CHADAVIT_COMPILE_CACHE", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # pragma: no cover - older jax without the knob
+        pass
+
+
 def load_cfg(argv: Optional[List[str]] = None, description: str = "") -> Config:
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=description)
     ap.add_argument("--config-path", default=".", help="directory containing the config")
     ap.add_argument("--config-name", required=True, help="config yaml name")

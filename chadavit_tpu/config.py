@@ -60,7 +60,7 @@ SUPPORTED_DATASETS = [
     "cifar10", "cifar100", "stl10", "imagenet", "imagenet100",
     "idrcell100k", "idrcell100k_3channels", "bloodmnist", "bbbc021",
     "bbbc048", "cyclops", "tissuemnist", "mtbenchreg", "bray",
-    "bbbc021xbray", "synthetic",  # rebuild additions: UMAP joint set + smoke data
+    "bbbc021xbray", "synthetic", "synthetic_structured",  # rebuild additions
 ]
 
 
@@ -254,6 +254,10 @@ def _num_classes(cfg: Config):
         from chadavit_tpu.data.datasets import SyntheticChannels
 
         cfg.data.num_classes = SyntheticChannels.NUM_CLASSES
+    elif ds == "synthetic_structured":
+        from chadavit_tpu.data.synthetic import SyntheticStructured
+
+        cfg.data.num_classes = SyntheticStructured.NUM_CLASSES
     else:
         train_path = cfg.data.get("train_path")
         n = 1

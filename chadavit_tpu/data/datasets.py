@@ -26,6 +26,8 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
+from chadavit_tpu.data.synthetic import SyntheticStructured  # noqa: F401
+
 
 def _imread(path: str) -> np.ndarray:
     """Decode one single-channel image file in its NATIVE dtype (uint8/uint16
@@ -464,6 +466,7 @@ DATASETS = {
     "mtbenchreg": MTBenchReg,
     "transloc": Transloc,
     "synthetic": SyntheticChannels,
+    "synthetic_structured": SyntheticStructured,
 }
 
 
@@ -496,7 +499,9 @@ def prepare_datasets(dataset: str, transform: Optional[Callable] = None,
                      train: bool = True, sample_ratio: float = 1.0, **kwargs):
     """Dataset dispatch (reference ``pretrain_dataloader.py:403-498``)."""
     cls = DATASETS[dataset]
-    if dataset == "synthetic":
+    if dataset in ("synthetic", "synthetic_structured"):
+        if dataset == "synthetic_structured":
+            kwargs.setdefault("train", train)
         ds = cls(transform=transform, **kwargs)
     else:
         ds = cls(root_dir=train_path, train=train, transform=transform,

@@ -290,10 +290,6 @@ class ChAdaViT(nn.Module):
     # and the kernels take 128-blocks there (see flash_attention.pick_block)
     seq_pad_multiple: int = 128
     patch_embed_conv: bool = True
-    # "xla" (default) or "pallas": the fused tokenizer kernel (ops/tokenizer.py)
-    # embeds+positions+channel-tags each plane in one VMEM pass; differentiable
-    # (custom VJP: fold/unfold matmuls + sum-reductions).
-    tokenizer_impl: str = "xla"
 
     @property
     def num_patches(self) -> int:
@@ -387,27 +383,18 @@ class ChAdaViT(nn.Module):
         n = (h // self.patch_size) * (w // self.patch_size)
         mask = channel_padding_mask(channel_counts, c, n)  # (B, 1 + C*N)
 
-        # during init the params don't exist yet (and patch_embed's must be
-        # CREATED by calling the submodule), so the XLA path runs then
-        if (self.tokenizer_impl == "pallas" and add_channel_tokens
-                and not self.is_initializing()):
-            from chadavit_tpu.ops.tokenizer import fused_tokenize
-
-            tokens = fused_tokenize(
-                x.astype(self.dtype),
-                self.variables["params"]["patch_embed"]["kernel"],
-                self.variables["params"]["patch_embed"]["bias"],
-                self._patch_pos_embed(w, h)[0, 0].astype(self.dtype),
-                self.channel_token[0, :c, 0].astype(self.dtype),
-                patch=self.patch_size,
-            )  # (B, C*N, D), pos + channel tokens included
-        else:
-            tokens = self.patch_embed(x.astype(self.dtype))  # (B, C, N, D)
-            # positional embedding: the same row broadcast over channels
-            tokens = tokens + self._patch_pos_embed(w, h).astype(self.dtype)
-            if add_channel_tokens:
-                tokens = tokens + self.channel_token[:, :c].astype(self.dtype)
-            tokens = tokens.reshape(b, c * n, self.embed_dim)
+        # Tokenization runs through XLA's conv emitter (MXU patch-embed
+        # matmul + fused pos/channel-token adds): measures ~1.4 ms of the
+        # ~196 ms canonical step. A fused Pallas tokenizer was built and
+        # deleted — Mosaic cannot lower the in-VMEM unfold's lane reshape, so
+        # it only ever ran interpreted; the XLA path is the design choice,
+        # not a fallback (see ROADMAP "Resolved").
+        tokens = self.patch_embed(x.astype(self.dtype))  # (B, C, N, D)
+        # positional embedding: the same row broadcast over channels
+        tokens = tokens + self._patch_pos_embed(w, h).astype(self.dtype)
+        if add_channel_tokens:
+            tokens = tokens + self.channel_token[:, :c].astype(self.dtype)
+        tokens = tokens.reshape(b, c * n, self.embed_dim)
 
         cls = self.cls_token.astype(self.dtype) + self.pos_embed[:, :, 0].astype(self.dtype)
         cls = jnp.broadcast_to(cls, (b, 1, self.embed_dim))
@@ -533,7 +520,6 @@ def chada_vit(**kwargs) -> ChAdaViT:
         block_impl=kwargs.get("block_impl", "auto"),
         seq_pad_multiple=kwargs.get("seq_pad_multiple", 128),
         patch_embed_conv=kwargs.get("patch_embed_conv", True),
-        tokenizer_impl=kwargs.get("tokenizer_impl", "xla"),
     )
 
 

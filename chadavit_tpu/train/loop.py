@@ -234,10 +234,19 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     import threading
 
     preempted = threading.Event()
+
+    def _on_preempt(*_):
+        # first signal: finish the in-flight step, checkpoint, exit cleanly.
+        # second signal: force exit (e.g. the first arrived mid-compile and the
+        # supervisor's grace period ran out) — still re-startable via resume.
+        if preempted.is_set():
+            raise SystemExit(143)
+        preempted.set()
+
     if threading.current_thread() is threading.main_thread():
         for _sig in (signal.SIGTERM, signal.SIGUSR1):
             try:
-                signal.signal(_sig, lambda *_: preempted.set())
+                signal.signal(_sig, _on_preempt)
             except (ValueError, OSError):  # pragma: no cover
                 pass
     step_ckpt_every = int(cfg.checkpoint.get("step_frequency", 0) or 0) \

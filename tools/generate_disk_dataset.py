@@ -34,42 +34,16 @@ import numpy as np
 
 def _render_image(seed: int, img_size: int, n_channels: int, depth: int,
                   label: int, num_classes: int) -> np.ndarray:
-    """(H, W, C) integer planes with blobs + oriented texture + noise."""
-    rng = np.random.default_rng(seed)
-    h = w = img_size
-    ax_y = np.arange(h, dtype=np.float32)
-    ax_x = np.arange(w, dtype=np.float32)
-    planes = []
-    if num_classes:
-        # class signature: texture orientation + spatial frequency
-        theta = np.pi * label / num_classes
-        freq = 2.0 * np.pi * (4 + 3 * (label % 4)) / img_size
-        yy = ax_y[:, None] * np.float32(np.sin(theta))
-        xx = ax_x[None, :] * np.float32(np.cos(theta))
-    for _ in range(n_channels):
-        img = np.zeros((h, w), np.float32)
-        # gaussian blobs ("cells"); isotropic -> separable outer product
-        for _b in range(int(rng.integers(3, 9))):
-            cy, cx = rng.uniform(0, h), rng.uniform(0, w)
-            s = rng.uniform(6, 24)
-            a = rng.uniform(0.3, 1.0)
-            gy = np.exp(-((ax_y - cy) ** 2) / (2 * s * s))
-            gx = np.exp(-((ax_x - cx) ** 2) / (2 * s * s))
-            img += a * np.outer(gy, gx)
-        # band-limited background texture (coarse noise, bilinear upsampled)
-        coarse = rng.random((h // 8, w // 8)).astype(np.float32)
-        img += 0.25 * np.kron(coarse, np.ones((8, 8), np.float32))
-        if num_classes:
-            phase = rng.uniform(0, 2 * np.pi)
-            img += 0.35 * np.sin(freq * (xx + yy) + phase).astype(np.float32)
-        img += rng.normal(0, 0.02, (h, w)).astype(np.float32)  # shot noise
-        img -= img.min()
-        img /= max(img.max(), 1e-6)
-        planes.append(img)
-    stack = np.stack(planes, -1)
-    if depth == 16:
-        return (stack * 65535.0 + 0.5).astype(np.uint16)
-    return (stack * 255.0 + 0.5).astype(np.uint8)
+    """(H, W, C) integer planes with blobs + oriented texture + noise
+    (shared renderer: chadavit_tpu.data.synthetic)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+    from chadavit_tpu.data.synthetic import render_structured_image
+
+    return render_structured_image(seed, img_size, n_channels, depth, label,
+                                   num_classes)
 
 
 def _write_plane(arr2d: np.ndarray, path: str):
