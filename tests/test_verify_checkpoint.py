@@ -1,0 +1,23 @@
+"""The real-checkpoint verification gate (scripts/verify_checkpoint.py):
+its --selftest mode must pass against the COMMITTED torch-oracle goldens,
+proving the ckpt-file -> remap -> JAX import path end to end (VERDICT r2 #6;
+reference HOW_TO_USE.ipynb cells 8-26)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_checkpoint_gate_selftest():
+    pytest.importorskip("torch")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "verify_checkpoint.py"),
+         "--selftest", "--img", "64"],
+        capture_output=True, text=True, timeout=560)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PASS" in proc.stdout
