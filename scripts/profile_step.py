@@ -30,15 +30,21 @@ def build_and_trace(width: int, batch: int, steps: int, logdir: str):
 
     from bench import ASYMMETRIC_AUGS
 
+    # CHADAVIT_PROFILE_MODEL=b16 profiles ChAdaViT-B/16 (embed 768, 12 heads;
+    # the VMEM gate rejects the fused layer kernel there, so this measures the
+    # unfused flash path with 4 head groups); default is chadavit16-moyen
+    b16 = os.environ.get("CHADAVIT_PROFILE_MODEL", "moyen") == "b16"
     spec = DinoPretrainSpec(
         backbone_kwargs=dict(
-            embed_dim=192, patch_size=16, return_all_tokens=False,
+            embed_dim=768 if b16 else 192,
+            num_heads=12 if b16 else 2,
+            patch_size=16, return_all_tokens=False,
             max_number_channels=10, attn_impl="auto",
             ln_impl=os.environ.get("CHADAVIT_PROFILE_LN", "auto"),
         ),
         img_size=224,
         max_channels=10,
-        num_prototypes=4096,
+        num_prototypes=65536 if b16 else 4096,
         warmup_teacher_temperature_epochs=50,
         clip_grad=3.0,
         steps_per_epoch=100,
