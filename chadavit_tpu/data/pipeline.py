@@ -114,6 +114,7 @@ class HostLoader:
         dtype=np.float32,
         emit_index: bool = False,
         native_batch_fn: Optional[Callable] = None,
+        shard: Optional[tuple] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -144,10 +145,23 @@ class HostLoader:
         # entirely in the C++ threadpool (bypasses per-sample __getitem__ +
         # collate; the GIL is released for the whole batch)
         self.native_batch_fn = native_batch_fn
+        # multi-host DP: (rank, world) keeps every world-th batch of the SAME
+        # deterministic global order (seeded shuffle is identical on every
+        # host), so processes consume disjoint shards — the TPU-native
+        # analogue of the reference DALI pipeline's rank sharding
+        # (dali_dataloader.py:765-767). Epoch semantics: one "epoch" spans the
+        # global dataset; each host sees len(global)/world batches of it.
+        self.shard = shard
+        self._shard_widths = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        nb = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.shard is not None:
+            # floor: every host must see the SAME number of batches or the
+            # collective program deadlocks on the ragged tail
+            nb = nb // self.shard[1]
+        return nb
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -161,10 +175,22 @@ class HostLoader:
         if self.bucket_by_channels:
             counts = np.asarray([self.dataset.channel_count(int(i)) for i in order])
             order = order[np.argsort(counts, kind="stable")]
-        nb = len(self)
+        nb = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
         batches = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
         if self.bucket_by_channels and self.shuffle:
             rng.shuffle(batches)
+        self._shard_widths = None
+        if self.shard is not None:
+            rank, world = self.shard
+            groups = [batches[i * world:(i + 1) * world]
+                      for i in range(nb // world)]
+            if self.bucket_by_channels:
+                # all hosts must compile/call the SAME global shape per step:
+                # force each world-sized batch group to its max bucket width
+                # (identical on every host — the order is deterministic)
+                self._shard_widths = [max(self._bucket_width(b) for b in g)
+                                      for g in groups]
+            batches = [g[rank] for g in groups]
         return batches
 
     def _bucket_width(self, idxs) -> int:
@@ -190,13 +216,18 @@ class HostLoader:
                             bi, idxs = next(idx_iter)
                         except StopIteration:
                             return
+                    forced = (self._shard_widths[bi]
+                              if self._shard_widths is not None else None)
                     if self.native_batch_fn is not None:
-                        width = (self._bucket_width(idxs)
-                                 if self.bucket_by_channels else self.max_channels)
+                        width = forced if forced is not None else (
+                            self._bucket_width(idxs)
+                            if self.bucket_by_channels else self.max_channels)
                         batch = self.native_batch_fn(idxs, width)
                     elif self.bucket_by_channels and self._user_collate is None:
                         samples = [self.dataset[int(i)] for i in idxs]
-                        batch = dense_collate(samples, self._bucket_width(idxs),
+                        batch = dense_collate(samples,
+                                              forced if forced is not None
+                                              else self._bucket_width(idxs),
                                               self._channels_last, self._dtype)
                     else:
                         samples = [self.dataset[int(i)] for i in idxs]

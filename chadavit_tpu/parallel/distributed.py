@@ -127,3 +127,38 @@ def is_primary() -> bool:
         return jax.process_index() == 0
     except Exception:
         return True
+
+
+def globalize_batch(batch: dict, mesh, batch_keys=("images", "crops",
+                                                   "small_crops",
+                                                   "channel_counts", "labels"),
+                    force: bool = False):
+    """Assemble per-host batch arrays into global jax.Arrays sharded on the
+    mesh's data axis (multi-host DP: each process loaded a DISJOINT rank shard
+    via ``HostLoader(shard=...)`` — the TPU-native analogue of the reference
+    DALI pipeline's ``shard_id=global_rank, num_shards=world_size``, reference
+    ``dali_dataloader.py:765-767``).
+
+    ``crops`` / ``small_crops`` are crop-major ``(n_crops, B, ...)`` so their
+    batch dim is axis 1; everything else shards axis 0. Non-array and
+    replicated entries (e.g. ``rng``) pass through untouched."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chadavit_tpu.parallel.mesh import DATA_AXIS
+
+    if jax.process_count() == 1 and not force:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if k not in batch_keys:
+            out[k] = v
+            continue
+        arr = np.asarray(v)
+        axis = 1 if k in ("crops", "small_crops") else 0
+        spec = [None] * arr.ndim
+        spec[axis] = DATA_AXIS
+        sharding = NamedSharding(mesh, P(*spec))
+        out[k] = jax.make_array_from_process_local_data(sharding, arr)
+    return out

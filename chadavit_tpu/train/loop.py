@@ -150,6 +150,11 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
                         "labels": labels}
 
             loader_kwargs["native_batch_fn"] = _native_batch
+    # multi-host DP: every process loads a disjoint rank shard of the same
+    # deterministic batch order; the loop assembles global arrays per step
+    # (parallel/distributed.globalize_batch)
+    shard = (jax.process_index(), jax.process_count()) \
+        if jax.process_count() > 1 else None
     return HostLoader(
         dataset,
         batch_size=cfg.optimizer.batch_size,
@@ -162,6 +167,7 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
         # exact widths by default: padded-channel work is zero (attention cost
         # scales with the true (1+196c)^2); one compiled shape per width
         bucket_round=int(cfg.get("bucket_round", 1)),
+        shard=shard,
         **loader_kwargs,
     )
 
@@ -197,10 +203,13 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
 
     from chadavit_tpu.utils.misc import pretty_param_summary
 
+    # summary reads only leaf SHAPES — never device_get fresh params here
+    # (a multi-MB readback straight after init; the tunneled dev TPU has been
+    # observed to stall exactly on that transfer)
     print("student parameters (backbone):\n" + pretty_param_summary(
-        jax.device_get(state.student["backbone"])))
+        state.student["backbone"]))
     print("student parameters (head):\n" + pretty_param_summary(
-        jax.device_get(state.student["head"])))
+        state.student["head"]))
 
     # checkpointing + auto-resume (reference main_pretrain.py:211-230);
     # resume is EXACT-step: mid-epoch checkpoints restore into the same batch
@@ -405,6 +414,10 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
             if spec.online_classifier and spec.num_classes > 0:
                 dev_batch["labels"] = jnp.asarray(
                     np.asarray(batch["labels"]).astype(np.int32))
+            if jax.process_count() > 1:
+                from chadavit_tpu.parallel.distributed import globalize_batch
+
+                dev_batch = globalize_batch(dev_batch, mesh)
             state, metrics = train_step(state, dev_batch)
             timer.tick()
             done += 1

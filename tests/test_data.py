@@ -382,3 +382,77 @@ def test_h5_dataset_dense_layout(tmp_path):
     img, lab = ds[3]
     np.testing.assert_allclose(img, images[3])
     assert lab == 0
+
+
+def test_hostloader_rank_sharding():
+    """Multi-host DP sharding: disjoint batches, identical counts per host,
+    width agreement within each step group (reference DALI rank sharding,
+    dali_dataloader.py:765-767)."""
+    import numpy as np
+
+    from chadavit_tpu.data.datasets import SyntheticChannels
+    from chadavit_tpu.data.pipeline import HostLoader
+
+    ds = SyntheticChannels(n=130, img_size=8, max_channels=5, seed=0)
+    world = 4
+    loaders = [HostLoader(ds, batch_size=8, max_channels=5, num_workers=1,
+                          seed=3, shuffle=True, drop_last=True,
+                          bucket_by_channels=True, bucket_round=1,
+                          channels_last=True, shard=(r, world))
+               for r in range(world)]
+    assert len({len(ld) for ld in loaders}) == 1  # lockstep batch counts
+    per_rank = [list(ld) for ld in loaders]
+    # same width per step across hosts (global jit needs one shape per step)
+    for step in range(len(per_rank[0])):
+        widths = {per_rank[r][step]["images"].shape[1] for r in range(world)}
+        assert len(widths) == 1, f"step {step}: widths {widths}"
+    # global epoch = union of shards, disjoint: unsharded loader covers the
+    # same deterministic batch order
+    full = HostLoader(ds, batch_size=8, max_channels=5, num_workers=1, seed=3,
+                      shuffle=True, drop_last=True, bucket_by_channels=True,
+                      bucket_round=1, channels_last=True)
+    full_ids = [tuple(b) for b in full._batches()]
+    for ld in loaders:
+        ld.set_epoch(0)  # list(ld) above advanced the epoch counter
+    shard_ids = [tuple(b) for r in range(world) for b in loaders[r]._batches()]
+    assert len(set(shard_ids)) == len(shard_ids)  # disjoint
+    assert set(shard_ids) <= set(full_ids)
+
+
+def test_globalize_batch_single_process_passthrough():
+    import numpy as np
+
+    from chadavit_tpu.parallel.distributed import globalize_batch
+    from chadavit_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_model=1)
+    batch = {"images": np.zeros((4, 2, 8, 8)), "rng": object()}
+    out = globalize_batch(batch, mesh)
+    assert out["images"] is batch["images"] or (out["images"] == batch["images"]).all()
+    assert out["rng"] is batch["rng"]
+
+
+def test_globalize_batch_shards_on_data_axis():
+    """force=True exercises the make_array path on the virtual 8-device mesh:
+    outputs are global jax.Arrays sharded along the data axis, crops on their
+    batch dim (axis 1)."""
+    import jax
+    import numpy as np
+
+    from chadavit_tpu.parallel.distributed import globalize_batch
+    from chadavit_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    mesh = make_mesh(n_model=1)
+    n_data = dict(mesh.shape)[DATA_AXIS]
+    batch = {
+        "crops": np.random.default_rng(0).random((2, n_data * 2, 3, 8, 8)).astype(np.float32),
+        "channel_counts": np.ones((n_data * 2,), np.int32),
+        "rng": jax.random.PRNGKey(0),
+    }
+    out = globalize_batch(batch, mesh, force=True)
+    assert out["crops"].shape == batch["crops"].shape
+    # sharded over the data axis on the batch dim
+    shard_shape = out["crops"].sharding.shard_shape(out["crops"].shape)
+    assert shard_shape[1] == 2 and shard_shape[0] == 2
+    assert out["channel_counts"].sharding.shard_shape((n_data * 2,)) == (2,)
+    np.testing.assert_array_equal(np.asarray(out["crops"]), batch["crops"])
