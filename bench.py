@@ -73,11 +73,9 @@ def main():
 
     # persistent compilation cache: repeated bench runs skip the (minutes-long)
     # remote TPU compiles
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from chadavit_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -208,7 +206,17 @@ def main():
                 raise RuntimeError(f"native loader unavailable: {native.build_error()}")
             marker = os.path.join(DISK_ROOT, ".complete")
             n_disk = (STEPS + 10) * BATCH
-            if not os.path.exists(marker):
+            # the cached dataset must be at least as large as this run needs
+            # (STEPS/BATCH are env-tunable; a stale smaller cache would silently
+            # shrink the measured workload) — the manifest row count is ground truth
+            have = 0
+            if os.path.exists(marker):
+                try:
+                    with open(os.path.join(DISK_ROOT, "train.csv")) as f:
+                        have = sum(1 for _ in f)
+                except OSError:
+                    have = 0
+            if have < n_disk:
                 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
                 from generate_disk_dataset import generate
 
@@ -218,14 +226,7 @@ def main():
             from chadavit_tpu.data.datasets import IDRCell100K
 
             disk_ds = IDRCell100K(DISK_ROOT, train=True)
-
-            def batch_fn(idxs, width, _ds=disk_ds):
-                images, counts = native.load_dense_batch_raw(
-                    [_ds.file_list[int(i)][2] for i in idxs], width, 224, 224,
-                    num_threads=2, out_depth=8)
-                return {"images": images, "channel_counts": counts,
-                        "labels": np.full(len(idxs), -1, np.int32)}
-
+            batch_fn = native.make_dense_batch_fn(disk_ds, 224, num_threads=2)
             disk_loader = HostLoader(disk_ds, batch_size=BATCH, max_channels=10,
                                      num_workers=2, seed=0, bucket_by_channels=True,
                                      bucket_round=1, native_batch_fn=batch_fn)

@@ -220,6 +220,31 @@ def load_dense_batch_raw(
     return out, counts
 
 
+def make_dense_batch_fn(dataset, size: int, num_threads: int = 4,
+                        out_depth: int = 8, regression: bool = False):
+    """Build a ``HostLoader(native_batch_fn=...)`` whole-batch fast path over a
+    manifest dataset (``dataset.file_list`` rows = (name, target, plane_paths)).
+
+    The batch is decoded entirely in the C++ threadpool into the dense RAW
+    integer layout — no per-plane Python, GIL released for the batch (the
+    DALI-role production path shared by the train loop and bench.py).
+    Missing targets (unlabeled pretrain manifests) become -1."""
+
+    def batch_fn(idxs, width):
+        rows = [dataset.file_list[int(i)] for i in idxs]
+        images, counts = load_dense_batch_raw(
+            [r[2] for r in rows], width, size, size,
+            num_threads=num_threads, out_depth=out_depth)
+        if regression:
+            labels = np.asarray([float(r[1]) for r in rows], np.float32)
+        else:
+            labels = np.asarray(
+                [int(r[1]) if r[1] is not None else -1 for r in rows], np.int32)
+        return {"images": images, "channel_counts": counts, "labels": labels}
+
+    return batch_fn
+
+
 class NativeEvalLoader:
     """Batch loader for eval paths (deterministic resize transform) that keeps
     the whole decode+resize in C++: the fast path behind ``main_knn`` /

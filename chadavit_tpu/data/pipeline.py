@@ -156,12 +156,13 @@ class HostLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        nb = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        # sharded: the partial tail batch is always dropped (a rank receiving a
+        # smaller batch dim would break the identical-global-shape invariant),
+        # and every host must see the SAME number of batches or the collective
+        # program deadlocks on the ragged tail
         if self.shard is not None:
-            # floor: every host must see the SAME number of batches or the
-            # collective program deadlocks on the ragged tail
-            nb = nb // self.shard[1]
-        return nb
+            return (n // self.batch_size) // self.shard[1]
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -175,7 +176,8 @@ class HostLoader:
         if self.bucket_by_channels:
             counts = np.asarray([self.dataset.channel_count(int(i)) for i in order])
             order = order[np.argsort(counts, kind="stable")]
-        nb = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        drop_last = self.drop_last or self.shard is not None  # see __len__
+        nb = n // self.batch_size if drop_last else -(-n // self.batch_size)
         batches = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
         if self.bucket_by_channels and self.shuffle:
             rng.shuffle(batches)

@@ -97,7 +97,8 @@ class SyntheticStructured:
     def __getitem__(self, index: int):
         rng = np.random.default_rng(self.seed * 1_000_003 + index)
         c = int(rng.integers(self.min_channels, self.max_channels + 1))
-        label = int(rng.integers(0, self.num_classes))
+        # unlabeled mode (num_classes=0): no class signature, sentinel label
+        label = int(rng.integers(0, self.num_classes)) if self.num_classes > 0 else -1
         img = render_structured_image(self.seed * 1_000_003 + index + 1,
                                       self.img_size, c, self.depth, label,
                                       self.num_classes)

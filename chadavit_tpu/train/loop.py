@@ -103,18 +103,31 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
             for i, aug in enumerate(cfg.get("augmentations", []))
         ]
         transform = FullTransformPipeline(pipelines)
+    crop = cfg["augmentations"][0]["crop_size"] if cfg.get("augmentations") else 224
+    if cfg.data.dataset == "synthetic":
+        ds_kwargs = dict(n=cfg.data.get("size", 256), img_size=crop,
+                         max_channels=cfg.data.get("max_img_channels", 10))
+    elif cfg.data.dataset == "synthetic_structured":
+        from chadavit_tpu.data.synthetic import SyntheticStructured
+
+        # in-memory renderer is already raw integer planes; no ``raw`` kwarg
+        ds_kwargs = dict(n=cfg.data.get("size", 512), img_size=crop,
+                         max_channels=cfg.data.get("max_img_channels", 4),
+                         num_classes=cfg.data.get("num_classes",
+                                                  SyntheticStructured.NUM_CLASSES))
+    elif cfg.get("device_augmentations", False):
+        # manifest datasets: keep raw integer planes for the uint8/uint16
+        # transfer + on-device normalization path
+        ds_kwargs = dict(raw=True)
+    else:
+        ds_kwargs = {}
     dataset = prepare_datasets(
         cfg.data.dataset,
         transform=transform,
         train_path=cfg.data.get("train_path"),
         train=True,
         sample_ratio=cfg.data.get("sample_ratio", 1.0),
-        **(dict(n=cfg.data.get("size", 256), img_size=cfg["augmentations"][0]["crop_size"],
-                max_channels=cfg.data.get("max_img_channels", 10))
-           if cfg.data.dataset == "synthetic"
-           # manifest datasets: keep raw integer planes for the uint8/uint16
-           # transfer + on-device normalization path
-           else (dict(raw=True) if cfg.get("device_augmentations", False) else {})),
+        **ds_kwargs,
     )
     max_channels = (cfg.backbone.get("kwargs", {}).get("max_number_channels")
                     or cfg.data.get("max_img_channels", 10))
@@ -133,23 +146,11 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
         if (_native.is_available() and hasattr(dataset, "file_list")
                 and probe.dtype in (np.uint8, np.uint16)
                 and cfg.data.get("native_loader", True)):
-            out_depth = 16 if probe.dtype == np.uint16 else 8
-            n_threads = int(cfg.data.get("decode_threads", 4) or 4)
-            is_reg = getattr(dataset, "task", "") == "regression"
-
-            def _native_batch(idxs, width, _ds=dataset, _d=out_depth, _t=n_threads,
-                              _s=base_size, _reg=is_reg):
-                rows = [_ds.file_list[int(i)] for i in idxs]
-                images, counts = _native.load_dense_batch_raw(
-                    [r[2] for r in rows], width, _s, _s,
-                    num_threads=_t, out_depth=_d)
-                labels = np.asarray(
-                    [float(r[1]) if _reg else int(r[1]) for r in rows],
-                    np.float32 if _reg else np.int32)
-                return {"images": images, "channel_counts": counts,
-                        "labels": labels}
-
-            loader_kwargs["native_batch_fn"] = _native_batch
+            loader_kwargs["native_batch_fn"] = _native.make_dense_batch_fn(
+                dataset, base_size,
+                num_threads=int(cfg.data.get("decode_threads", 4) or 4),
+                out_depth=16 if probe.dtype == np.uint16 else 8,
+                regression=getattr(dataset, "task", "") == "regression")
     # multi-host DP: every process loads a disjoint rank shard of the same
     # deterministic batch order; the loop assembles global arrays per step
     # (parallel/distributed.globalize_batch)
@@ -403,21 +404,23 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
             if fused_augs is not None:
                 # raw integer transfer; [0,1] conversion + views + train step
                 # all inside ONE jitted program (see build_dino)
-                dev_batch = {"images": jnp.asarray(batch["images"]),
-                             "channel_counts": jnp.asarray(batch["channel_counts"]),
-                             "rng": jax.random.fold_in(aug_base, gstep)}
+                host_batch = {"images": batch["images"],
+                              "channel_counts": batch["channel_counts"]}
             else:
-                dev_batch = {
-                    "crops": jnp.asarray(_host_cast(batch["crops"])),
-                    "channel_counts": jnp.asarray(batch["channel_counts"]),
-                }
+                host_batch = {"crops": _host_cast(batch["crops"]),
+                              "channel_counts": batch["channel_counts"]}
             if spec.online_classifier and spec.num_classes > 0:
-                dev_batch["labels"] = jnp.asarray(
-                    np.asarray(batch["labels"]).astype(np.int32))
+                host_batch["labels"] = np.asarray(batch["labels"]).astype(np.int32)
             if jax.process_count() > 1:
                 from chadavit_tpu.parallel.distributed import globalize_batch
 
-                dev_batch = globalize_batch(dev_batch, mesh)
+                # upload each host's numpy shard directly into the global
+                # sharded array — one H2D transfer per step, no host round-trip
+                dev_batch = globalize_batch(host_batch, mesh)
+            else:
+                dev_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+            if fused_augs is not None:
+                dev_batch["rng"] = jax.random.fold_in(aug_base, gstep)
             state, metrics = train_step(state, dev_batch)
             timer.tick()
             done += 1

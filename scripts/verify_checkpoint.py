@@ -108,9 +108,10 @@ def main():
                     help="verify the import pipeline against committed "
                          "torch-oracle goldens (no real checkpoint needed)")
     ap.add_argument("--write-goldens", action="store_true")
-    ap.add_argument("--img", type=int, default=IMG,
-                    help="selftest may use a smaller resolution for speed; the "
-                         "real gate must use 224")
+    ap.add_argument("--img", type=int, default=None,
+                    help="input resolution; defaults to the committed goldens' "
+                         "resolution for --selftest (so the bare invocation "
+                         "always matches) and 224 for the real gate")
     ap.add_argument("--skip-md5", action="store_true",
                     help="bypass the published-md5 check (non-canonical file)")
     ap.add_argument("--tpu", action="store_true",
@@ -128,6 +129,9 @@ def main():
         import tempfile
 
         img = args.img
+        if img is None:  # match whatever resolution the goldens were captured at
+            img = (int(np.load(SELFTEST_GOLDENS)["img"])
+                   if os.path.exists(SELFTEST_GOLDENS) else 64)
         with tempfile.TemporaryDirectory() as td:
             ckpt = os.path.join(td, "selftest.ckpt")
             tmodel = make_selftest_ckpt(ckpt, img)
@@ -166,10 +170,11 @@ def main():
             return 1
         print(f"md5 OK: {digest}")
 
-    got = jax_embeddings(args.checkpoint, args.img)
+    img = args.img if args.img is not None else IMG
+    got = jax_embeddings(args.checkpoint, img)
     if args.write_goldens:
         os.makedirs(GOLDEN_DIR, exist_ok=True)
-        np.savez(REAL_GOLDENS, embeddings=got, img=args.img, seed=INPUT_SEED,
+        np.savez(REAL_GOLDENS, embeddings=got, img=img, seed=INPUT_SEED,
                  counts=np.asarray(CHANNEL_COUNTS))
         print(f"wrote {REAL_GOLDENS}; re-run to verify against them")
         return 0

@@ -419,6 +419,46 @@ def test_hostloader_rank_sharding():
     assert set(shard_ids) <= set(full_ids)
 
 
+def test_synthetic_structured_unlabeled():
+    """num_classes=0 (unlabeled pretrain) renders without a class signature and
+    returns the -1 sentinel label."""
+    import numpy as np
+
+    from chadavit_tpu.data.synthetic import SyntheticStructured
+
+    ds = SyntheticStructured(n=3, img_size=16, num_classes=0)
+    img, label = ds[0]
+    assert label == -1
+    assert img.dtype == np.uint8 and img.shape[:2] == (16, 16)
+
+
+def test_hostloader_shard_drops_ragged_tail():
+    """With shard set, the partial tail batch is dropped even when
+    drop_last=False: every rank must deliver identical batch shapes or the
+    global collective program deadlocks/mismatches."""
+    import numpy as np
+
+    from chadavit_tpu.data.pipeline import HostLoader
+
+    class _DS:
+        def __len__(self):
+            return 70  # 8 full batches of 8 + one short batch of 6
+
+        def __getitem__(self, i):
+            return np.full((4, 4, 2), i, np.float32), 0
+
+    for world in (2, 3):
+        per_rank = []
+        for rank in range(world):
+            ld = HostLoader(_DS(), batch_size=8, max_channels=2, shuffle=False,
+                            drop_last=False, shard=(rank, world), num_workers=1)
+            sizes = [b["images"].shape[0] for b in ld]
+            assert len(sizes) == len(ld)
+            per_rank.append(sizes)
+        assert {s for sizes in per_rank for s in sizes} == {8}, per_rank
+        assert len({len(sizes) for sizes in per_rank}) == 1, per_rank
+
+
 def test_globalize_batch_single_process_passthrough():
     import numpy as np
 
