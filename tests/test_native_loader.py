@@ -282,3 +282,25 @@ def test_native_batch_fn_in_hostloader(image_dir):
     widths = sorted(b["images"].shape[1] for b in batches)
     assert widths == [1, 2, 2]  # exact-width buckets: 1-ch batch, two 2-ch
     assert all(b["images"].dtype == np.uint8 for b in batches)
+
+
+def test_make_dense_batch_fn(image_dir):
+    """The shared batch-fn factory (train loop + bench.py): classification ints,
+    None targets -> -1 sentinel, regression floats."""
+    d, _ = image_dir
+    p = str(d / "gray8.png")
+
+    class DS:
+        file_list = [("a", 3, [p]), ("b", None, [p, p]), ("c", "1.5", [p])]
+
+    fn = native.make_dense_batch_fn(DS(), 8, num_threads=1)
+    b = fn([0, 1], 2)
+    assert b["images"].shape == (2, 2, 8, 8) and b["images"].dtype == np.uint8
+    assert b["labels"].dtype == np.int32
+    assert b["labels"].tolist() == [3, -1]
+    assert b["channel_counts"].tolist() == [1, 2]
+
+    fn_reg = native.make_dense_batch_fn(DS(), 8, num_threads=1, regression=True)
+    br = fn_reg([2], 1)
+    assert br["labels"].dtype == np.float32
+    assert abs(float(br["labels"][0]) - 1.5) < 1e-6
