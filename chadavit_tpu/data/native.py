@@ -220,21 +220,80 @@ def load_dense_batch_raw(
     return out, counts
 
 
+class DecodedPlaneCache:
+    """In-memory cache of decoded raw planes keyed by file path.
+
+    Microscopy pretrain datasets are often small enough to hold decoded
+    (50-100 KB/plane at 224px uint8): with the cache on, every epoch after the
+    first is decode-free and the host pipeline runs at memcpy speed — a
+    steady-state the reference's DALI pipeline cannot reach (it re-decodes
+    every epoch, ``dali_dataloader.py:453-591``). Bounded by ``max_bytes``
+    (insertions stop at the cap; already-cached planes keep serving).
+
+    Thread-safe under HostLoader's worker threads: dict get/set are GIL-atomic
+    and entries are immutable once inserted — a lost insert race costs one
+    duplicate decode, never a wrong result."""
+
+    def __init__(self, max_bytes: Optional[int] = None):
+        self.store: dict = {}
+        self.max_bytes = max_bytes
+        self.bytes = 0
+
+    def __contains__(self, path: str) -> bool:
+        return path in self.store
+
+    def get(self, path: str):
+        return self.store.get(path)
+
+    def put(self, path: str, plane: np.ndarray) -> None:
+        if path in self.store:
+            return
+        if self.max_bytes is not None and self.bytes + plane.nbytes > self.max_bytes:
+            return
+        self.store[path] = plane
+        self.bytes += plane.nbytes
+
+
 def make_dense_batch_fn(dataset, size: int, num_threads: int = 4,
-                        out_depth: int = 8, regression: bool = False):
+                        out_depth: int = 8, regression: bool = False,
+                        cache: Optional[DecodedPlaneCache] = None):
     """Build a ``HostLoader(native_batch_fn=...)`` whole-batch fast path over a
     manifest dataset (``dataset.file_list`` rows = (name, target, plane_paths)).
 
     The batch is decoded entirely in the C++ threadpool into the dense RAW
     integer layout — no per-plane Python, GIL released for the batch (the
     DALI-role production path shared by the train loop and bench.py).
-    Missing targets (unlabeled pretrain manifests) become -1."""
+    Missing targets (unlabeled pretrain manifests) become -1. With ``cache``
+    set, decoded planes are reused across epochs (see
+    :class:`DecodedPlaneCache`); only cache-missing images are decoded."""
+    dtype = np.uint16 if out_depth == 16 else np.uint8
 
     def batch_fn(idxs, width):
         rows = [dataset.file_list[int(i)] for i in idxs]
-        images, counts = load_dense_batch_raw(
-            [r[2] for r in rows], width, size, size,
-            num_threads=num_threads, out_depth=out_depth)
+        if cache is None:
+            images, counts = load_dense_batch_raw(
+                [r[2] for r in rows], width, size, size,
+                num_threads=num_threads, out_depth=out_depth)
+        else:
+            b = len(rows)
+            images = np.zeros((b, width, size, size), dtype)
+            counts = np.asarray([min(len(r[2]), width) for r in rows], np.int32)
+            missing = [i for i, r in enumerate(rows)
+                       if any(p not in cache for p in r[2][:width])]
+            if missing:
+                dec, _ = load_dense_batch_raw(
+                    [rows[i][2] for i in missing], width, size, size,
+                    num_threads=num_threads, out_depth=out_depth)
+                for k, i in enumerate(missing):
+                    images[i] = dec[k]
+                    for j, p in enumerate(rows[i][2][:width]):
+                        cache.put(p, dec[k, j].copy())  # exact bytes, no pad planes
+            missing_set = set(missing)
+            for i, r in enumerate(rows):
+                if i in missing_set:
+                    continue
+                for j, p in enumerate(r[2][:width]):
+                    images[i, j] = cache.get(p)
         if regression:
             labels = np.asarray([float(r[1]) for r in rows], np.float32)
         else:

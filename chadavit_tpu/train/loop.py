@@ -146,11 +146,17 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
         if (_native.is_available() and hasattr(dataset, "file_list")
                 and probe.dtype in (np.uint8, np.uint16)
                 and cfg.data.get("native_loader", True)):
+            # optional decoded-plane cache: epochs >= 2 are decode-free for
+            # datasets that fit the byte cap (data.cache_decoded[_mb])
+            cache = (_native.DecodedPlaneCache(
+                         int(cfg.data.get("cache_decoded_mb", 2048)) * 2**20)
+                     if cfg.data.get("cache_decoded", False) else None)
             loader_kwargs["native_batch_fn"] = _native.make_dense_batch_fn(
                 dataset, base_size,
                 num_threads=int(cfg.data.get("decode_threads", 4) or 4),
                 out_depth=16 if probe.dtype == np.uint16 else 8,
-                regression=getattr(dataset, "task", "") == "regression")
+                regression=getattr(dataset, "task", "") == "regression",
+                cache=cache)
     # multi-host DP: every process loads a disjoint rank shard of the same
     # deterministic batch order; the loop assembles global arrays per step
     # (parallel/distributed.globalize_batch)

@@ -304,3 +304,40 @@ def test_make_dense_batch_fn(image_dir):
     br = fn_reg([2], 1)
     assert br["labels"].dtype == np.float32
     assert abs(float(br["labels"][0]) - 1.5) < 1e-6
+
+
+def test_decoded_plane_cache(image_dir, monkeypatch):
+    """Second epoch through make_dense_batch_fn(cache=...) is decode-free and
+    bit-identical; the byte cap stops insertions but never corrupts results."""
+    d, _ = image_dir
+    p = str(d / "gray8.png")
+
+    class DS:
+        file_list = [("a", 0, [p]), ("b", 1, [p, p])]
+
+    calls = []
+    real = native.load_dense_batch_raw
+
+    def counting(paths, *a, **k):
+        calls.append(len(paths))
+        return real(paths, *a, **k)
+
+    monkeypatch.setattr(native, "load_dense_batch_raw", counting)
+    cache = native.DecodedPlaneCache()
+    fn = native.make_dense_batch_fn(DS(), 8, num_threads=1, cache=cache)
+    b1 = fn([0, 1], 2)
+    assert calls == [2]  # both rows decoded once
+    b2 = fn([0, 1], 2)
+    assert calls == [2]  # second epoch: no decode
+    np.testing.assert_array_equal(b1["images"], b2["images"])
+    np.testing.assert_array_equal(b1["channel_counts"], b2["channel_counts"])
+    assert cache.bytes == 8 * 8  # one unique path cached, uint8
+
+    # zero-byte cap: nothing cached, every call decodes, results still right
+    fn0 = native.make_dense_batch_fn(
+        DS(), 8, num_threads=1, cache=native.DecodedPlaneCache(max_bytes=0))
+    calls.clear()
+    c1 = fn0([0, 1], 2)
+    c2 = fn0([0, 1], 2)
+    assert calls == [2, 2]
+    np.testing.assert_array_equal(c1["images"], b1["images"])
