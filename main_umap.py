@@ -33,6 +33,7 @@ def main(argv=None):
         max_channels=max_channels,
         num_workers=cfg.data.get("num_workers", 4),
         crop_size=cfg.data.get("augmentations", {}).get("crop_size", 224),
+        sample_ratio=cfg.data.get("sample_ratio", 1.0),  # reference main_umap.py:97
         val_transform_for_train=True,
         native_loader=cfg.get("native_loader", False),
     )
