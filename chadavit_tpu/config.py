@@ -270,6 +270,7 @@ def parse_pretrain_cfg(cfg: Config) -> Config:
     """Pretrain defaults (reference ``args/pretrain.py:134-233``)."""
     cfg = _common_defaults(cfg)
     select(cfg, "backbone.kwargs.return_all_tokens", False)
+    select(cfg, "debug_augmentations", False)  # reference args/pretrain.py:74
     assert cfg.data.dataset in SUPPORTED_DATASETS, cfg.data.dataset
 
     # DINO method defaults (reference methods/dino.py:197-223)
@@ -373,6 +374,7 @@ def parse_attn_cfg(cfg: Config) -> Config:
     cfg = _common_defaults(cfg)
     select(cfg, "backbone.kwargs.return_all_tokens", False)
     select(cfg, "image_path", None)
+    select(cfg, "image_size", 224)  # reference args/attn.py:37
     select(cfg, "output_dir", "attn_maps")
     select(cfg, "threshold", None)
     select(cfg, "patch_size", 16)

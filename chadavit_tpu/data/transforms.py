@@ -439,6 +439,9 @@ class AugmentationPipeline:
             img = op(img, rng)
         return np.ascontiguousarray(img.transpose(2, 0, 1))  # CHW
 
+    def __repr__(self) -> str:  # printed by debug_augmentations
+        return "Compose(" + ", ".join(type(op).__name__ for op in self.ops) + ")"
+
 
 class RawResize:
     """Host-side dtype-preserving square resize to HWC — the minimal host work
@@ -467,6 +470,9 @@ class NCropAugmentation:
     def __call__(self, img: Array, rng: Optional[Rng] = None) -> List[Array]:
         return [self.transform(img, rng) for _ in range(self.num_crops)]
 
+    def __repr__(self) -> str:  # reference pretrain_dataloader.py:156-158
+        return f"{self.num_crops} x [{self.transform}]"
+
 
 class FullTransformPipeline:
     """Concatenate several NCrop pipelines (reference ``pretrain_dataloader.py:186-228``)."""
@@ -479,6 +485,9 @@ class FullTransformPipeline:
         for t in self.transforms:
             out.extend(t(img, rng))
         return out
+
+    def __repr__(self) -> str:  # reference pretrain_dataloader.py:227-228
+        return "\n".join(str(t) for t in self.transforms)
 
 
 def build_transform_pipeline(dataset: str, cfg: dict, seed: Optional[int] = None) -> AugmentationPipeline:

@@ -103,6 +103,9 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
             for i, aug in enumerate(cfg.get("augmentations", []))
         ]
         transform = FullTransformPipeline(pipelines)
+    if cfg.get("debug_augmentations", False):  # reference main_pretrain.py:120-122
+        print("Transforms:")
+        print(transform)
     crop = cfg["augmentations"][0]["crop_size"] if cfg.get("augmentations") else 224
     if cfg.data.dataset == "synthetic":
         ds_kwargs = dict(n=cfg.data.get("size", 256), img_size=crop,

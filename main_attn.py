@@ -81,6 +81,13 @@ def main(argv=None):
     img = np.asarray(Image.open(cfg.image_path), np.float32)
     if img.ndim == 3:
         img = img.mean(-1)  # single-channel attention path
+    # reference resizes to cfg.image_size before the patch-multiple crop
+    # (main_attn.py:182-189, A.Resize(image_size, image_size)); default 224
+    size = int(cfg.get("image_size", 224) or 0)
+    if size and img.shape != (size, size):
+        import cv2
+
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
     h = img.shape[0] - img.shape[0] % patch
     w = img.shape[1] - img.shape[1] % patch
     img = img[:h, :w]
