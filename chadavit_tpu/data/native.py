@@ -28,7 +28,7 @@ _build_error: Optional[str] = None
 def _build() -> Optional[str]:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO, "-lpng", "-ljpeg", "-ltiff", "-lz", "-lpthread",
+        _SRC, "-o", _SO, "-lpng", "-ljpeg", "-ltiff", "-lz", "-ldeflate", "-lpthread",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)

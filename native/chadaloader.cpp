@@ -19,7 +19,7 @@
 //                  2 shorter-side->resize_size then center crop
 //     normalize:   1 -> divide by the plane's dtype max (255/65535) before scale
 //
-// Build: g++ -O3 -march=native -shared -fPIC chadaloader.cpp -lpng -ljpeg -ltiff -lz
+// Build: g++ -O3 -march=native -shared -fPIC chadaloader.cpp -lpng -ljpeg -ltiff -lz -ldeflate
 //        (driven by chadavit_tpu/data/native.py)
 
 #include <algorithm>
@@ -33,6 +33,7 @@
 #include <thread>
 #include <vector>
 
+#include <libdeflate.h>
 #include <png.h>
 #include <tiffio.h>
 extern "C" {
@@ -59,6 +60,109 @@ struct RawPlane {
 };
 
 // ---------------------------------------------------------------- PNG ----
+// Fast path: minimal decoder for the microscopy hot case — 8/16-bit
+// GRAYSCALE, non-interlaced PNG (color type 0), which is what per-channel
+// plane files are. IDAT inflates through libdeflate (~2x zlib) and the
+// row unfilter is a tight loop over 1-2 byte pixels; everything else
+// (palette/RGB/alpha/interlaced/sub-byte) falls back to libpng below.
+RawPlane decode_png_fast(const uint8_t* p, size_t n) {
+  RawPlane out;
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
+  if (n < 8 + 25 || std::memcmp(p, sig, 8) != 0) return out;
+  auto u32 = [&](size_t o) -> uint32_t {
+    return ((uint32_t)p[o] << 24) | ((uint32_t)p[o + 1] << 16) |
+           ((uint32_t)p[o + 2] << 8) | (uint32_t)p[o + 3];
+  };
+  size_t off = 8;  // IHDR must be the first chunk (PNG spec)
+  if (u32(off) != 13 || std::memcmp(p + off + 4, "IHDR", 4) != 0) return out;
+  const uint32_t w = u32(off + 8), h = u32(off + 12);
+  const uint8_t bd = p[off + 16], ct = p[off + 17];
+  const uint8_t comp = p[off + 18], filt = p[off + 19], il = p[off + 20];
+  if (!w || !h || ct != 0 || (bd != 8 && bd != 16) || comp || filt || il)
+    return out;  // not the grayscale hot case -> libpng
+  if ((uint64_t)w * h > (uint64_t)1 << 30) return out;
+  off += 8 + 13 + 4;
+  // gather IDAT payload spans (no CRC checks: inflate's adler32 validates)
+  std::vector<std::pair<const uint8_t*, size_t>> spans;
+  size_t total = 0;
+  while (off + 8 <= n) {
+    const uint32_t len = u32(off);
+    const uint8_t* type = p + off + 4;
+    if (off + 8 + (size_t)len + 4 > n) return out;
+    if (std::memcmp(type, "IDAT", 4) == 0) {
+      spans.emplace_back(p + off + 8, (size_t)len);
+      total += len;
+    } else if (std::memcmp(type, "IEND", 4) == 0) {
+      break;
+    }
+    off += 8 + (size_t)len + 4;
+  }
+  if (!total) return out;
+  std::vector<uint8_t> joined;  // libdeflate needs one contiguous buffer
+  const uint8_t* z = spans.size() == 1 ? spans[0].first : nullptr;
+  if (!z) {
+    joined.reserve(total);
+    for (const auto& s : spans) joined.insert(joined.end(), s.first, s.first + s.second);
+    z = joined.data();
+  }
+  const size_t bpp = bd / 8;
+  const size_t rowbytes = (size_t)w * bpp;
+  std::vector<uint8_t> raw((rowbytes + 1) * h);  // +1 filter byte per row
+  libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  if (!d) return out;
+  size_t actual = 0;
+  const int res = libdeflate_zlib_decompress(d, z, total, raw.data(), raw.size(), &actual);
+  libdeflate_free_decompressor(d);
+  if (res != LIBDEFLATE_SUCCESS || actual != raw.size()) return out;
+  out.bytes.resize(rowbytes * h);
+  const uint8_t* prev = nullptr;
+  for (uint32_t y = 0; y < h; ++y) {
+    const uint8_t* src = raw.data() + (size_t)y * (rowbytes + 1) + 1;
+    const uint8_t ft = src[-1];
+    uint8_t* dst = out.bytes.data() + (size_t)y * rowbytes;
+    switch (ft) {
+      case 0:  // None
+        std::memcpy(dst, src, rowbytes);
+        break;
+      case 1:  // Sub
+        std::memcpy(dst, src, bpp);
+        for (size_t i = bpp; i < rowbytes; ++i) dst[i] = (uint8_t)(src[i] + dst[i - bpp]);
+        break;
+      case 2:  // Up
+        if (!prev) std::memcpy(dst, src, rowbytes);
+        else
+          for (size_t i = 0; i < rowbytes; ++i) dst[i] = (uint8_t)(src[i] + prev[i]);
+        break;
+      case 3:  // Average
+        for (size_t i = 0; i < bpp; ++i)
+          dst[i] = (uint8_t)(src[i] + ((prev ? prev[i] : 0) >> 1));
+        for (size_t i = bpp; i < rowbytes; ++i)
+          dst[i] = (uint8_t)(src[i] +
+                             (uint8_t)(((unsigned)dst[i - bpp] + (prev ? prev[i] : 0)) >> 1));
+        break;
+      case 4:  // Paeth
+        for (size_t i = 0; i < bpp; ++i) dst[i] = (uint8_t)(src[i] + (prev ? prev[i] : 0));
+        for (size_t i = bpp; i < rowbytes; ++i) {
+          const int a = dst[i - bpp], b = prev ? prev[i] : 0, c = prev ? prev[i - bpp] : 0;
+          const int pa = std::abs(b - c), pb = std::abs(a - c), pc = std::abs(a + b - 2 * c);
+          const int pr = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          dst[i] = (uint8_t)(src[i] + pr);
+        }
+        break;
+      default:
+        return RawPlane{};  // corrupt filter byte -> let libpng report it
+    }
+    prev = dst;
+  }
+  if (bd == 16)  // PNG is big-endian; RawPlane wants LE u16
+    for (size_t i = 0; i + 1 < out.bytes.size(); i += 2) std::swap(out.bytes[i], out.bytes[i + 1]);
+  out.w = (int)w;
+  out.h = (int)h;
+  out.depth = bd;
+  out.ok = true;
+  return out;
+}
+
 RawPlane decode_png_raw(FILE* f) {
   RawPlane out;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
@@ -72,6 +176,10 @@ RawPlane decode_png_raw(FILE* f) {
     png_destroy_read_struct(&png, &info, nullptr);
     return out;
   }
+  // skip per-chunk CRC verification on the hot decode path: inflate itself
+  // still validates the stream (zlib adler32), and a corrupt file surfaces
+  // as a decode error either way — crc32 over IDAT is pure overhead here
+  png_set_crc_action(png, PNG_CRC_QUIET_USE, PNG_CRC_QUIET_USE);
   png_init_io(png, f);
   png_read_info(png, info);
 
@@ -320,7 +428,21 @@ RawPlane decode_file_raw(const char* path) {
   }
   rewind(f);
   if (magic[0] == 0x89 && magic[1] == 'P') {
-    out = decode_png_raw(f);
+    // whole-file read, then the libdeflate grayscale fast path; exotic PNGs
+    // (palette/RGB/alpha/interlaced) fall back to libpng on the same buffer
+    std::fseek(f, 0, SEEK_END);
+    const long fsz = std::ftell(f);
+    std::rewind(f);
+    if (fsz > 0) {
+      std::vector<uint8_t> buf((size_t)fsz);
+      if (std::fread(buf.data(), 1, buf.size(), f) == buf.size()) {
+        out = decode_png_fast(buf.data(), buf.size());
+        if (!out.ok) {
+          std::rewind(f);
+          out = decode_png_raw(f);
+        }
+      }
+    }
     fclose(f);
   } else if (magic[0] == 0xFF && magic[1] == 0xD8) {
     out = decode_jpeg_raw(f);

@@ -341,3 +341,68 @@ def test_decoded_plane_cache(image_dir, monkeypatch):
     c2 = fn0([0, 1], 2)
     assert calls == [2, 2]
     np.testing.assert_array_equal(c1["images"], b1["images"])
+
+
+def _write_png(path, img: np.ndarray, filters, idat_split=1):
+    """Hand-assemble a grayscale PNG with an EXPLICIT filter type per row —
+    exercises every unfilter branch of the libdeflate fast path in
+    native/chadaloader.cpp (PIL's adaptive encoder picks filters we can't
+    control). ``filters`` is one PNG filter id (0-4) per row; ``idat_split``
+    splits the zlib stream across that many IDAT chunks (the join path)."""
+    import struct
+    import zlib
+
+    h, w = img.shape
+    bpp = img.dtype.itemsize
+    be = img.astype(">u2") if bpp == 2 else img  # PNG stores 16-bit big-endian
+    rows = be.view(np.uint8).reshape(h, w * bpp).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, np.int16)
+    for y, ft in enumerate(filters):
+        cur = rows[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) // 2)
+        else:  # Paeth
+            pa = np.abs(prev - upleft)
+            pb = np.abs(left - upleft)
+            pc = np.abs(left + prev - 2 * upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        raw.append(ft)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8 * bpp, 0, 0, 0, 0)
+    z = zlib.compress(bytes(raw), 6)
+    step = max(1, len(z) // idat_split)
+    idats = b"".join(chunk(b"IDAT", z[i:i + step]) for i in range(0, len(z), step))
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idats + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_png_fast_path_all_filters(tmp_path, dtype):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, np.iinfo(dtype).max + 1, (11, 23), dtype=dtype)
+    # one file per filter type, plus a mixed-filter + split-IDAT file
+    for ft in range(5):
+        p = tmp_path / f"f{ft}.png"
+        _write_png(p, img, [ft] * img.shape[0])
+        got = native.decode_plane_raw(str(p))
+        assert got.dtype == dtype and np.array_equal(got, img), f"filter {ft}"
+    p = tmp_path / "mixed.png"
+    _write_png(p, img, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0, 4], idat_split=3)
+    got = native.decode_plane_raw(str(p))
+    assert np.array_equal(got, img)
