@@ -36,6 +36,11 @@ STEPS = int(os.environ.get("CHADAVIT_BENCH_STEPS", 40))  # timed steps across bu
 # through the C++ batch decoder (the production IDRCell100k path). "0" skips.
 DISK = os.environ.get("CHADAVIT_BENCH_DISK", "1") != "0"
 DISK_ROOT = os.environ.get("CHADAVIT_BENCH_DISK_ROOT", "/tmp/chadavit_disk_bench_v1")
+# ChAdaViT-B/16 phase (embed 768, heads 12, 65536 prototypes): single-chip
+# step throughput of the large backbone. "0" skips.
+B16 = os.environ.get("CHADAVIT_BENCH_B16", "1") != "0"
+B16_BATCH = int(os.environ.get("CHADAVIT_BENCH_B16_BATCH", 16))
+B16_STEPS = int(os.environ.get("CHADAVIT_BENCH_B16_STEPS", 6))
 
 # the canonical 2-view asymmetric recipe
 # (reference scripts/knn/bbbc048/augmentations/asymmetric.yaml)
@@ -159,23 +164,20 @@ def main():
     # device-busy truth from a profiler trace of one timed pass: wall-clock on
     # the shared tunnel includes external contention the production deployment
     # would not see; the sequential "XLA Ops" device stream does not
-    dev_img_s = None
-    try:
+    def traced_device_seconds(run_traced) -> float:
+        """Run ``run_traced()`` under the profiler and return the average
+        per-chip device-busy seconds (sequential "XLA Ops" stream; each TPU
+        plane is one chip — summing planes would divide throughput by n_chips
+        twice on multi-chip hosts). 0.0 when no TPU plane was captured."""
         import glob
         import tempfile
 
         logdir = tempfile.mkdtemp(prefix="bench_trace_")
         jax.profiler.start_trace(logdir)
-        for b in timed:
-            aug_rng, sub = jax.random.split(aug_rng)
-            state, m = run_one(sub, b)
-        _ = float(m["dino_loss"])
+        run_traced()
         jax.profiler.stop_trace()
         from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: PLC0415
 
-        # average device-busy seconds per chip: each TPU plane is one chip's
-        # sequential compute stream (summing them would divide throughput by
-        # n_chips twice on multi-chip hosts)
         dev_s, n_planes = 0.0, 0
         for path in glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                               recursive=True):
@@ -189,8 +191,20 @@ def main():
                 for line in p.lines:
                     if line.name == "XLA Ops":
                         dev_s += sum(ev.duration_ps for ev in line.events) / 1e12
+        return dev_s / max(n_planes, 1)
+
+    dev_img_s = None
+    try:
+        def _trace_synth():
+            nonlocal state, aug_rng
+            for b in timed:
+                aug_rng, sub = jax.random.split(aug_rng)
+                state, m = run_one(sub, b)
+            _ = float(m["dino_loss"])
+
+        dev_s = traced_device_seconds(_trace_synth)
         if dev_s > 0:
-            dev_img_s = n_img / (dev_s / max(n_planes, 1))
+            dev_img_s = n_img / dev_s
     except Exception as e:  # pragma: no cover - profiling is best-effort
         print(f"device-trace pass skipped: {e}", file=sys.stderr)
 
@@ -277,6 +291,68 @@ def main():
         except Exception as e:  # pragma: no cover - keep the core bench robust
             print(f"disk-decode phase skipped: {e}", file=sys.stderr)
 
+    # ---- ChAdaViT-B/16 phase: the large-backbone step at width 10 (the
+    # VERDICT r2 item-#4 row: D=768 runs the unfused flash path — the fused
+    # layer kernel is VMEM-gated off there and the K=768/F=2048 contractions
+    # already saturate the MXU; see BASELINE.md). Same shapes as
+    # scripts/profile_step.py CHADAVIT_PROFILE_MODEL=b16, so the persistent
+    # compile cache covers it.
+    b16_dev_img_s = b16_mfu = b16_wall_img_s = None
+    if B16:
+        try:
+            from chadavit_tpu.data.device_augment import make_multicrop_fn
+
+            spec_b = DinoPretrainSpec(
+                backbone_kwargs=dict(
+                    embed_dim=768, num_heads=12, patch_size=16,
+                    return_all_tokens=False, max_number_channels=10,
+                    attn_impl="auto",
+                ),
+                img_size=224, max_channels=10, num_prototypes=65536,
+                warmup_teacher_temperature_epochs=50, clip_grad=3.0,
+                steps_per_epoch=100, max_epochs=400, warmup_epochs=10,
+                dtype=jnp.bfloat16,
+            )
+            state_b, step_b, _, _ = build_dino(spec_b, mesh=make_mesh(n_model=1))
+            rng_np = np.random.default_rng(0)
+            imgs_b = jnp.asarray(
+                rng_np.integers(0, 255, (B16_BATCH, 10, 224, 224), dtype=np.uint8))
+            counts_b = jnp.asarray(np.full((B16_BATCH,), 10, np.int32))
+            aug_b = make_multicrop_fn(ASYMMETRIC_AUGS, dtype=spec_b.dtype)
+
+            def run_b16(rng_, st):
+                out = aug_b(rng_, imgs_b, counts_b)
+                return step_b(st, {"crops": out["crops"],
+                                   "channel_counts": out["channel_counts"]})
+
+            for _ in range(2):  # compile + settle
+                aug_rng, sub = jax.random.split(aug_rng)
+                state_b, m_b = run_b16(sub, state_b)
+            _ = float(m_b["dino_loss"])
+            t0 = time.time()
+            for _ in range(B16_STEPS):
+                aug_rng, sub = jax.random.split(aug_rng)
+                state_b, m_b = run_b16(sub, state_b)
+            assert np.isfinite(float(m_b["dino_loss"]))  # hard sync
+            b16_wall_img_s = B16_STEPS * B16_BATCH / (time.time() - t0)
+
+            def _trace_b16():
+                nonlocal state_b, aug_rng, m_b
+                for _ in range(B16_STEPS):
+                    aug_rng, sub = jax.random.split(aug_rng)
+                    state_b, m_b = run_b16(sub, state_b)
+                _ = float(m_b["dino_loss"])
+
+            dev_s_b = traced_device_seconds(_trace_b16)
+            if dev_s_b > 0:
+                b16_dev_img_s = B16_STEPS * B16_BATCH / dev_s_b
+                fl_b = model_flops_per_image(10, d=768, f=2048) * B16_STEPS * B16_BATCH
+                b16_mfu = fl_b / dev_s_b / V5E_PEAK_FLOPS
+            print(f"b16: wall {b16_wall_img_s:.1f} img/s, device "
+                  f"{b16_dev_img_s or float('nan'):.1f} img/s", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - keep the core bench robust
+            print(f"b16 phase skipped: {e}", file=sys.stderr)
+
     n_chips = max(len(jax.devices()), 1)
     img_s_chip = n_img / dt / n_chips
     mfu = flops / dt / n_chips / V5E_PEAK_FLOPS
@@ -301,6 +377,12 @@ def main():
         if disk_cached_img_s is not None:
             # steady-state epochs >= 2 with data.cache_decoded (decode-free)
             out["disk_cached_img_s_per_chip"] = round(disk_cached_img_s / n_chips, 2)
+    if b16_wall_img_s is not None:
+        out["b16_wall_img_s_per_chip"] = round(b16_wall_img_s / n_chips, 2)
+        out["b16_batch"] = B16_BATCH
+        if b16_dev_img_s is not None:
+            out["b16_device_img_s_per_chip"] = round(b16_dev_img_s / n_chips, 2)
+            out["b16_device_mfu"] = round(b16_mfu / n_chips, 4)
     print(json.dumps(out))
 
 
