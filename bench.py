@@ -81,6 +81,27 @@ def main():
     from chadavit_tpu.cli import enable_compile_cache
 
     enable_compile_cache()
+
+    # fail fast when the device backend is unreachable: the tunneled dev TPU
+    # has outage windows where backend init blocks forever — a bounded wait
+    # turns an indefinite hang into a clear error the harness can retry
+    import threading
+
+    init = {}
+
+    def _probe():
+        try:
+            init["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover
+            init["error"] = repr(e)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(float(os.environ.get("CHADAVIT_BENCH_INIT_TIMEOUT_S", 300)))
+    if "devices" not in init:
+        print(f"device backend init failed/timed out: {init.get('error', 'hang')}",
+              file=sys.stderr)
+        return 3
     import jax.numpy as jnp
     import numpy as np
 
