@@ -53,6 +53,26 @@ TP_RULES = (
 )
 
 
+# FSDP (ZeRO-3 style): leaves smaller than this stay replicated — sharding
+# tiny biases/norm scales buys no memory and costs an all-gather each.
+FSDP_MIN_LEAF_ELEMS = 4096
+
+
+def _add_fsdp_axis(spec: P, shape, data_size: int) -> P:
+    """Extend ``spec`` with ``DATA_AXIS`` on the largest still-unsharded,
+    divisible dim (ZeRO parameter sharding over the data axis). Returns the
+    original spec when no dim qualifies."""
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_len = None, 0
+    for i, (axis, d) in enumerate(zip(dims, shape)):
+        if axis is None and d % data_size == 0 and d > best_len:
+            best, best_len = i, d
+    if best is None:
+        return spec
+    dims[best] = DATA_AXIS
+    return P(*dims)
+
+
 def _path_str(path) -> str:
     parts = []
     for k in path:
@@ -65,10 +85,20 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def param_shardings(params: Any, mesh: Mesh, rules=TP_RULES) -> Any:
+def param_shardings(params: Any, mesh: Mesh, rules=TP_RULES, fsdp: bool = False) -> Any:
     """Pytree of NamedShardings for a param tree: TP rules when the mesh has a
-    nontrivial model axis, replicated otherwise."""
+    nontrivial model axis, replicated otherwise.
+
+    ``fsdp=True`` additionally shards every large leaf over the DATA axis
+    (ZeRO-3: params, teacher and optimizer state all live sharded; GSPMD
+    inserts the per-layer all-gather on use and reduce-scatter on the grad).
+    Composes with TP: the TP rule claims its dim first, FSDP takes the largest
+    remaining divisible dim. This is the rebuild's memory story for big
+    backbones — the reference (DDP, reference main_pretrain.py:301-309) has no
+    equivalent and replicates everything per GPU."""
     use_tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    data_size = mesh.shape.get(DATA_AXIS, 1)
+    use_fsdp = fsdp and data_size > 1
 
     def one(path, leaf):
         spec = P()
@@ -84,6 +114,8 @@ def param_shardings(params: Any, mesh: Mesh, rules=TP_RULES) -> Any:
                     if ok:
                         spec = ps
                     break
+        if use_fsdp and np.prod(leaf.shape, dtype=np.int64) >= FSDP_MIN_LEAF_ELEMS:
+            spec = _add_fsdp_axis(spec, leaf.shape, data_size)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)
@@ -111,29 +143,33 @@ def dino_batch_shardings(mesh: Mesh) -> dict:
     }
 
 
-def opt_state_shardings(opt_state: Any, mesh: Mesh, rules=TP_RULES) -> Any:
-    """Shardings for an optax state pytree under TP.
+def opt_state_shardings(opt_state: Any, mesh: Mesh, rules=TP_RULES,
+                        fsdp: bool = False) -> Any:
+    """Shardings for an optax state pytree under TP/FSDP.
 
     Optimizer buffers that mirror params (LARS/SGD momentum, Adam mu/nu,
     MultiSteps grad accumulators) live at tree paths that END with the param's
     own path (e.g. ``.../momentum/backbone/blocks_0/linear1/kernel``), so the
     same regex TP rules apply leaf-by-leaf; scalar counters match no rule and
-    stay replicated. This is what makes TP actually save optimizer memory."""
-    return param_shardings(opt_state, mesh, rules)
+    stay replicated. FSDP dim choice depends only on the leaf shape, so a
+    mirror buffer always gets its param's sharding. This is what makes TP/FSDP
+    actually save optimizer memory."""
+    return param_shardings(opt_state, mesh, rules, fsdp=fsdp)
 
 
-def shard_dino_state(state, mesh: Mesh):
-    """Shardings pytree for a DinoState: params per TP rules, scalars/center
-    replicated, optimizer state mirroring the param shardings."""
+def shard_dino_state(state, mesh: Mesh, fsdp: bool = False):
+    """Shardings pytree for a DinoState: params per TP/FSDP rules,
+    scalars/center replicated, optimizer state mirroring the param
+    shardings."""
     from chadavit_tpu.train.state import DinoState  # local to avoid cycles
 
     assert isinstance(state, DinoState)
     rep = replicated(mesh)
-    student_sh = param_shardings(state.student, mesh)
+    student_sh = param_shardings(state.student, mesh, fsdp=fsdp)
     return DinoState(
         step=rep,
         student=student_sh,
         teacher=student_sh,
-        opt_state=opt_state_shardings(state.opt_state, mesh),
+        opt_state=opt_state_shardings(state.opt_state, mesh, fsdp=fsdp),
         center=rep,
     )

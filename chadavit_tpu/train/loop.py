@@ -209,7 +209,10 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
                   if cfg.get("device_augmentations", False) else None)
     state, train_step, model, head = build_dino(
         spec, mesh=mesh, rng=jax.random.PRNGKey(seed),
-        device_augmentations=fused_augs)
+        device_augmentations=fused_augs,
+        # fsdp: true shards params/teacher/opt state over the data axis
+        # (ZeRO-3 via GSPMD) — the pod memory recipe for big backbones
+        fsdp=bool(cfg.get("fsdp", False)))
 
     from chadavit_tpu.utils.misc import pretty_param_summary
 

@@ -96,11 +96,17 @@ def build_dino(
     mesh=None,
     rng: Optional[jax.Array] = None,
     device_augmentations=None,
+    fsdp: bool = False,
 ) -> Tuple[DinoState, Callable, Any, Any]:
     """Returns ``(state, jitted_train_step, backbone_model, head_model)``.
 
     The step is jitted over ``mesh`` with the batch sharded on the data axis and
     params sharded per the TP rules (replicated when the model axis is 1).
+
+    ``fsdp=True`` shards params, teacher and optimizer state over the DATA
+    axis too (ZeRO-3; see ``parallel.mesh.param_shardings``) — the memory
+    recipe for big backbones on pods. Forces the unfused layer path (the
+    Pallas whole-layer custom call needs whole weights, same as under TP).
 
     With ``device_augmentations`` (the augmentation pipeline list), the
     on-device multicrop augmentation is compiled INTO the train step — one
@@ -118,17 +124,17 @@ def build_dino(
     bk["dtype"] = spec.dtype
     from chadavit_tpu.parallel.mesh import MODEL_AXIS
 
-    if mesh is not None and dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
-        # under tensor parallelism the per-layer weights are sharded on the
-        # model axis; the fused whole-layer kernel needs them whole (GSPMD
-        # cannot partition the custom call), so force the unfused path even if
-        # the config asked for it explicitly ("auto"/"fused" would otherwise
+    if mesh is not None and (dict(mesh.shape).get(MODEL_AXIS, 1) > 1 or fsdp):
+        # under tensor parallelism / FSDP the per-layer weights are sharded;
+        # the fused whole-layer kernel needs them whole (GSPMD cannot
+        # partition the custom call), so force the unfused path even if the
+        # config asked for it explicitly ("auto"/"fused" would otherwise
         # trigger per-layer weight all-gathers or a compile failure)
         if bk.get("block_impl") == "fused":
             raise ValueError(
-                "block_impl='fused' is incompatible with model_parallel>1: the "
-                "fused layer kernel cannot be partitioned by GSPMD. Use "
-                "block_impl='xla' (or 'auto', which falls back) under TP meshes.")
+                "block_impl='fused' is incompatible with model_parallel>1 / "
+                "fsdp: the fused layer kernel cannot be partitioned by GSPMD. "
+                "Use block_impl='xla' (or 'auto', which falls back).")
         bk["block_impl"] = "xla"
     is_chada = spec.backbone in ("vit_channels", "chada_vit")
     if not is_chada:
@@ -264,12 +270,12 @@ def build_dino(
     raw_step = make_dino_train_step(backbone_apply, head_apply, tx, step_cfg,
                                     classifier_apply=classifier_apply)
 
-    # ---- sharding: params per TP rules, batch over the data axis ----
+    # ---- sharding: params per TP/FSDP rules, batch over the data axis ----
     rep = replicated(mesh)
-    student_sh = param_shardings(student, mesh)
+    student_sh = param_shardings(student, mesh, fsdp=fsdp)
     from chadavit_tpu.parallel.mesh import opt_state_shardings
 
-    opt_sh = opt_state_shardings(opt_state, mesh)
+    opt_sh = opt_state_shardings(opt_state, mesh, fsdp=fsdp)
     state_sh = DinoState(step=rep, student=student_sh, teacher=student_sh,
                          opt_state=opt_sh, center=rep)
     batch_sh = dino_batch_shardings(mesh)

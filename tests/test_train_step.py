@@ -27,9 +27,10 @@ TINY = dict(
 )
 
 
-def _run_steps(mesh, batch, n=3, seed=0):
+def _run_steps(mesh, batch, n=3, seed=0, fsdp=False):
     spec = DinoPretrainSpec(**TINY)
-    state, step, _, _ = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(seed))
+    state, step, _, _ = build_dino(spec, mesh=mesh, rng=jax.random.PRNGKey(seed),
+                                   fsdp=fsdp)
     metrics_hist = []
     for _ in range(n):
         state, metrics = step(state, batch)
@@ -81,6 +82,55 @@ def test_tp_matches_single_device():
 
     for m1, mtp in zip(h1, htp):
         assert m1["dino_loss"] == pytest.approx(mtp["dino_loss"], rel=1e-4)
+
+
+def test_fsdp_matches_single_device_and_shards_state():
+    """FSDP (ZeRO-3 over the data axis): identical training math AND smaller
+    per-device param/teacher/optimizer footprint than replicated DP."""
+    import math
+
+    spec = DinoPretrainSpec(**TINY)
+    batch = synthetic_dino_batch(spec, batch_size=8)
+
+    mesh1 = make_mesh(n_model=1, devices=jax.devices()[:1])
+    mesh8 = make_mesh(n_model=1)
+    _, h1 = _run_steps(mesh1, batch, n=2)
+    state_f, hf = _run_steps(mesh8, batch, n=2, fsdp=True)
+    for m1, mf in zip(h1, hf):
+        assert m1["dino_loss"] == pytest.approx(mf["dino_loss"], rel=1e-4)
+
+    def per_device_bytes(tree):
+        return sum(
+            math.prod(leaf.sharding.shard_shape(leaf.shape)) * leaf.dtype.itemsize
+            for leaf in jax.tree.leaves(tree) if hasattr(leaf, "sharding"))
+
+    state_dp, _ = _run_steps(mesh8, batch, n=0)
+    for part in ("student", "teacher", "opt_state"):
+        assert per_device_bytes(getattr(state_f, part)) < \
+            per_device_bytes(getattr(state_dp, part)), part
+    # large leaves shard to 1/8; small ones (biases, norms) stay replicated,
+    # so the whole tree lands strictly between 1/8 and 1x
+    assert per_device_bytes(state_f.student) < 0.5 * per_device_bytes(state_dp.student)
+
+
+def test_fsdp_composes_with_tp():
+    """DP(4)xTP(2) + FSDP: the TP rule claims its dim, FSDP shards the largest
+    remaining divisible dim; the training math is unchanged."""
+    spec = DinoPretrainSpec(**TINY)
+    batch = synthetic_dino_batch(spec, batch_size=8)
+
+    mesh1 = make_mesh(n_model=1, devices=jax.devices()[:1])
+    mesh_tp = make_mesh(n_model=2)
+    _, h1 = _run_steps(mesh1, batch, n=2)
+    state_ftp, hftp = _run_steps(mesh_tp, batch, n=2, fsdp=True)
+    for m1, mf in zip(h1, hftp):
+        assert m1["dino_loss"] == pytest.approx(mf["dino_loss"], rel=1e-4)
+    # an FFN kernel carries BOTH axes: model (TP rule) + data (FSDP)
+    from chadavit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    k = state_ftp.student["backbone"]["blocks_0"]["linear1"]["kernel"]
+    spec_axes = [a for a in k.sharding.spec if a is not None]
+    assert MODEL_AXIS in spec_axes and DATA_AXIS in spec_axes
 
 
 def test_prototype_freeze_then_update():
