@@ -237,11 +237,24 @@ class HostLoader:
                     if self.emit_index and isinstance(batch, dict):
                         batch["index"] = np.asarray(idxs, np.int64)
                     # emit strictly in batch order; puts stay inside the lock so
-                    # two workers cannot interleave their ready prefixes
+                    # two workers cannot interleave their ready prefixes. The
+                    # put polls `stop` instead of blocking: a consumer that
+                    # abandons the epoch early (max_steps truncation,
+                    # preemption) must not leave workers parked forever on a
+                    # full queue holding res_lock and a batch each
                     with res_lock:
                         results[bi] = batch
                         while next_emit[0] in results:
-                            out_q.put(results.pop(next_emit[0]))
+                            item = results[next_emit[0]]
+                            while True:
+                                if stop.is_set():
+                                    return
+                                try:
+                                    out_q.put(item, timeout=0.2)
+                                    break
+                                except queue.Full:
+                                    continue
+                            results.pop(next_emit[0])
                             next_emit[0] += 1
             except BaseException as e:  # propagate to the consumer
                 out_q.put(_WorkerError(e))

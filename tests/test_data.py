@@ -89,6 +89,26 @@ def test_host_loader_deterministic_order():
         np.testing.assert_array_equal(x, y)
 
 
+def test_host_loader_early_abandon_releases_workers():
+    """A consumer that stops mid-epoch (max_steps truncation, preemption) must
+    not leave worker threads parked forever on a full prefetch queue."""
+    import threading
+    import time
+
+    ds = SyntheticChannels(n=160, img_size=8, max_channels=4)
+    ld = HostLoader(ds, batch_size=8, max_channels=4, num_workers=3, seed=0,
+                    prefetch=1, channels_last=True)
+    before = threading.active_count()
+    it = iter(ld)
+    next(it)  # workers now race ahead and block on the size-1 queue
+    time.sleep(0.3)
+    it.close()  # abandon the epoch -> finally sets stop
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "loader workers leaked"
+
+
 def test_csv_manifest_dataset(tmp_path):
     import csv as csvmod
 
