@@ -245,6 +245,30 @@ def test_mid_epoch_preemption_resume_exact(tmp_path, monkeypatch):
         resumed["dino_loss"], full["dino_loss"])
 
 
+def test_preemption_resume_exact_under_fsdp(tmp_path, monkeypatch):
+    """Mid-epoch resume is exact with FSDP-sharded state too: orbax saves the
+    gathered tree and restores into the data-axis-sharded template."""
+    monkeypatch.chdir(tmp_path)
+    from chadavit_tpu.cli import apply_overrides
+    from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
+    from chadavit_tpu.train.loop import run_dino_pretrain
+
+    def make_cfg(ckpt_dir):
+        cfg = load_yaml(os.path.join(SMOKE, "dino_synthetic.yaml"))
+        apply_overrides(cfg, [
+            "checkpoint.enabled=true", "auto_resume.enabled=true",
+            f"checkpoint.dir={ckpt_dir}", "data.size=32", "max_epochs=2",
+            "fsdp=true", "device_augmentations=true",
+        ])
+        return parse_pretrain_cfg(cfg)
+
+    full = run_dino_pretrain(make_cfg(f"{tmp_path}/full"))
+    run_dino_pretrain(make_cfg(f"{tmp_path}/pre"), max_steps=3)
+    resumed = run_dino_pretrain(make_cfg(f"{tmp_path}/pre"))
+    assert resumed["dino_loss"] == pytest.approx(full["dino_loss"], abs=1e-5), (
+        resumed["dino_loss"], full["dino_loss"])
+
+
 def test_sigusr1_checkpoints_and_exits(tmp_path, monkeypatch):
     """SIGUSR1 (the reference's SLURM requeue signal) checkpoints at the
     current step and exits the loop cleanly."""
