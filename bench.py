@@ -106,7 +106,7 @@ def main():
     import numpy as np
 
     from chadavit_tpu.data.datasets import SyntheticChannels
-    from chadavit_tpu.data.pipeline import HostLoader
+    from chadavit_tpu.data.pipeline import HostLoader, device_prefetch
     from chadavit_tpu.parallel.mesh import make_mesh
     from chadavit_tpu.train.pretrain import DinoPretrainSpec, build_dino
 
@@ -148,6 +148,24 @@ def main():
                             "channel_counts": jnp.asarray(b["channel_counts"]),
                             "rng": rng})
 
+    # batch N+1's host->device upload is issued from a side thread while batch
+    # N's step runs (the production loop does the same — train/loop.py); on
+    # the tunneled dev TPU the device_put RPC otherwise serializes with the
+    # step dispatch and costs wall time the device never sees
+    def _upload(b):
+        return (len(b["labels"]),
+                {"images": jnp.asarray(b["images"]),
+                 "channel_counts": jnp.asarray(b["channel_counts"])})
+
+    def timed_pass(state, batches, rng):
+        n_i = 0
+        for n, dev in device_prefetch(iter(batches), _upload, depth=2):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, {**dev, "rng": sub})
+            n_i += n
+        _ = float(m["dino_loss"])  # hard sync
+        return state, rng, m, n_i
+
     # warmup: compile every bucket width once (aug + step)
     seen = set()
     batches = list(loader)
@@ -172,14 +190,11 @@ def main():
     dts = []
     for r in range(REPEATS):
         t0 = time.time()
-        for b in timed:
-            aug_rng, sub = jax.random.split(aug_rng)
-            state, m = run_one(sub, b)
-        loss = float(m["dino_loss"])  # hard sync
+        state, aug_rng, m, _ = timed_pass(state, timed, aug_rng)
         dts.append(time.time() - t0)
         print(f"repeat {r}: {dts[-1]:.2f}s ({n_img / dts[-1]:.1f} img/s)",
               file=sys.stderr, flush=True)
-        assert np.isfinite(loss), loss
+        assert np.isfinite(float(m["dino_loss"]))
     dt = min(dts)
 
     # device-busy truth from a profiler trace of one timed pass: wall-clock on
@@ -277,12 +292,7 @@ def main():
             for r in range(max(2, REPEATS - 2)):
                 disk_loader.set_epoch(0)  # identical batch order each repeat
                 t0 = time.time()
-                n_i = 0
-                for b in disk_loader:
-                    aug_rng, sub = jax.random.split(aug_rng)
-                    state, m = run_one(sub, b)
-                    n_i += len(b["labels"])
-                _ = float(m["dino_loss"])  # hard sync
+                state, aug_rng, m, n_i = timed_pass(state, disk_loader, aug_rng)
                 dtd = time.time() - t0
                 best = min(best, dtd) if best else dtd
                 print(f"disk repeat {r}: {dtd:.2f}s ({n_i / dtd:.1f} img/s)",
@@ -299,12 +309,7 @@ def main():
                 pass
             disk_loader.set_epoch(0)
             t0 = time.time()
-            n_i = 0
-            for b in disk_loader:
-                aug_rng, sub = jax.random.split(aug_rng)
-                state, m = run_one(sub, b)
-                n_i += len(b["labels"])
-            _ = float(m["dino_loss"])  # hard sync
+            state, aug_rng, m, n_i = timed_pass(state, disk_loader, aug_rng)
             disk_cached_img_s = n_i / (time.time() - t0)
             print(f"disk cached epoch: {disk_cached_img_s:.1f} img/s "
                   f"(cache {cache.bytes / 2**20:.0f} MiB)",

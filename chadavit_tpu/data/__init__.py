@@ -10,6 +10,7 @@ from chadavit_tpu.data.datasets import (  # noqa: F401
 from chadavit_tpu.data.pipeline import (  # noqa: F401
     HostLoader,
     dense_collate,
+    device_prefetch,
     one_channel_flatten,
     prepare_dataloader,
 )

@@ -274,6 +274,63 @@ class HostLoader:
         self.epoch += 1
 
 
+def device_prefetch(iterable, upload: Callable = None, depth: int = 2):
+    """Overlap host->device uploads with the consumer's device compute.
+
+    Pulls items from ``iterable`` in ONE background thread, applies ``upload``
+    there (e.g. a ``jax.device_put``-based converter; ``None`` = identity),
+    and yields the results in order through a bounded queue holding at most
+    ``depth`` uploaded batches.
+
+    Why a thread: ``jax.device_put`` is nominally asynchronous, but on
+    networked device backends (the tunneled dev TPU; any PJRT-over-RPC
+    runtime) issuing the transfer blocks the caller on the wire for
+    milliseconds to tens of milliseconds per batch. Issuing batch N+1's
+    upload from a side thread hides that latency behind batch N's step —
+    the host-side analogue of the reference DALI pipeline's prefetch queue
+    (``dali_dataloader.py:453-591``), one level up (host->device rather than
+    disk->host, which :class:`HostLoader` already overlaps).
+
+    Exceptions in the producer propagate to the consumer; abandoning the
+    generator early (``break``, preemption) stops the producer promptly and
+    releases the queued device buffers.
+    """
+    _end = object()
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for item in iterable:
+                if not _put(item if upload is None else upload(item)):
+                    return
+            _put(_end)
+        except BaseException as e:  # propagate to the consumer
+            _put(_WorkerError(e))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _end:
+                return
+            if isinstance(item, _WorkerError):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()
+
+
 def prepare_dataloader(dataset, batch_size: int, max_channels: int, **kwargs) -> HostLoader:
     """Name-compatible factory (reference ``pretrain_dataloader.py:499``)."""
     return HostLoader(dataset, batch_size=batch_size, max_channels=max_channels, **kwargs)

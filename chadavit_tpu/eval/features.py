@@ -80,11 +80,25 @@ def extract_features(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Run the feature fn over a loader (reference ``base.py:901-981`` /
     ``main_knn.py:44-70``). Returns numpy ``(features, targets)``."""
+    from chadavit_tpu.data.pipeline import device_prefetch
+
     fn = jax.jit(feature_fn) if jit else feature_fn
     feats, targets = [], []
-    for batch in loader:
-        images = jnp.asarray(batch["images"])
-        counts = jnp.asarray(batch["channel_counts"])
-        feats.append(np.asarray(fn(params, images, counts)))
-        targets.append(np.asarray(batch["labels"]))
+
+    def _upload(batch):
+        return (jnp.asarray(batch["images"]),
+                jnp.asarray(batch["channel_counts"]), batch["labels"])
+
+    # uploads run in a side thread and the device->host fetch is deferred one
+    # batch (np.asarray blocks on the result; keeping one extraction in flight
+    # overlaps batch N+1's upload+compute with fetching batch N)
+    pending = None
+    for images, counts, labels in device_prefetch(iter(loader), _upload, depth=2):
+        out = fn(params, images, counts)
+        if pending is not None:
+            feats.append(np.asarray(pending))
+        pending = out
+        targets.append(np.asarray(labels))
+    if pending is not None:
+        feats.append(np.asarray(pending))
     return np.concatenate(feats), np.concatenate(targets)

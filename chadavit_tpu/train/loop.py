@@ -20,6 +20,7 @@ from chadavit_tpu.data import (
     HostLoader,
     NCropAugmentation,
     build_transform_pipeline,
+    device_prefetch,
     prepare_datasets,
 )
 from chadavit_tpu.parallel.mesh import make_mesh
@@ -407,32 +408,50 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     metrics = {}
     done = 0
     gstep = start_step  # python-side mirror of state.step (no per-step sync)
+
+    def _upload(batch, g):
+        """Host batch -> device batch; runs in the prefetch thread."""
+        if fused_augs is not None:
+            # raw integer transfer; [0,1] conversion + views + train step
+            # all inside ONE jitted program (see build_dino)
+            host_batch = {"images": batch["images"],
+                          "channel_counts": batch["channel_counts"]}
+        else:
+            host_batch = {"crops": _host_cast(batch["crops"]),
+                          "channel_counts": batch["channel_counts"]}
+        if spec.online_classifier and spec.num_classes > 0:
+            host_batch["labels"] = np.asarray(batch["labels"]).astype(np.int32)
+        if jax.process_count() > 1:
+            from chadavit_tpu.parallel.distributed import globalize_batch
+
+            # upload each host's numpy shard directly into the global
+            # sharded array — one H2D transfer per step, no host round-trip
+            dev_batch = globalize_batch(host_batch, mesh)
+        else:
+            dev_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+        if fused_augs is not None:
+            dev_batch["rng"] = jax.random.fold_in(aug_base, g)
+        return dev_batch
+
     for epoch in range(start_epoch, cfg.max_epochs):
         loader.set_epoch(epoch)
         skip = start_step % steps_per_epoch if epoch == start_epoch else 0
-        for bi, batch in enumerate(loader):
-            if bi < skip:  # mid-epoch resume: already-consumed batches
-                continue
-            if fused_augs is not None:
-                # raw integer transfer; [0,1] conversion + views + train step
-                # all inside ONE jitted program (see build_dino)
-                host_batch = {"images": batch["images"],
-                              "channel_counts": batch["channel_counts"]}
-            else:
-                host_batch = {"crops": _host_cast(batch["crops"]),
-                              "channel_counts": batch["channel_counts"]}
-            if spec.online_classifier and spec.num_classes > 0:
-                host_batch["labels"] = np.asarray(batch["labels"]).astype(np.int32)
-            if jax.process_count() > 1:
-                from chadavit_tpu.parallel.distributed import globalize_batch
 
-                # upload each host's numpy shard directly into the global
-                # sharded array — one H2D transfer per step, no host round-trip
-                dev_batch = globalize_batch(host_batch, mesh)
-            else:
-                dev_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
-            if fused_augs is not None:
-                dev_batch["rng"] = jax.random.fold_in(aug_base, gstep)
+        def _epoch_batches(skip=skip, g0=gstep):
+            # skip + upload + rng-fold run in the device_prefetch thread, so
+            # batch N+1's host->device transfer overlaps batch N's step (on
+            # networked PJRT backends device_put blocks on the wire); the
+            # producer's step counter mirrors the consumer's gstep exactly
+            # (both advance once per emitted batch)
+            g = g0
+            for bi, batch in enumerate(loader):
+                if bi < skip:  # mid-epoch resume: already-consumed batches
+                    continue
+                yield _upload(batch, g)
+                g += 1
+
+        for dev_batch in device_prefetch(
+                _epoch_batches(), depth=int(cfg.get("device_prefetch", 2))):
             state, metrics = train_step(state, dev_batch)
             timer.tick()
             done += 1

@@ -516,3 +516,44 @@ def test_globalize_batch_shards_on_data_axis():
     assert shard_shape[1] == 2 and shard_shape[0] == 2
     assert out["channel_counts"].sharding.shard_shape((n_data * 2,)) == (2,)
     np.testing.assert_array_equal(np.asarray(out["crops"]), batch["crops"])
+
+
+def test_device_prefetch_orders_uploads_and_propagates_errors():
+    import time
+
+    from chadavit_tpu.data.pipeline import device_prefetch
+
+    # order + upload applied in the producer thread
+    items = list(range(20))
+    out = list(device_prefetch(iter(items), upload=lambda x: x * 10, depth=2))
+    assert out == [x * 10 for x in items]
+
+    # producer exceptions surface at the consumer
+    def boom(x):
+        if x == 3:
+            raise ValueError("decode failed")
+        return x
+
+    got = []
+    with pytest.raises(ValueError, match="decode failed"):
+        for v in device_prefetch(iter(range(10)), upload=boom, depth=2):
+            got.append(v)
+    assert got == [0, 1, 2]
+
+    # abandoning the generator early stops the producer (no parked thread
+    # spinning the full iterator)
+    pulled = []
+
+    def tracking():
+        for i in range(1000):
+            pulled.append(i)
+            yield i
+
+    gen = device_prefetch(tracking(), depth=2)
+    assert next(gen) == 0
+    gen.close()
+    time.sleep(0.3)
+    n = len(pulled)
+    time.sleep(0.2)
+    assert len(pulled) == n  # producer stopped
+    assert n < 1000
