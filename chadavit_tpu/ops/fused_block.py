@@ -261,7 +261,11 @@ def _bwd_kernel(scale: float, block: int, n_blocks: int, num_heads: int,
             rstd = stats_ref[0, 1, sl, 0:1]
             h = ((xf - mu) * rstd * g1 + b1).astype(dt)
             h_s[sl, :] = h
-            qkv_s[sl, :] = _nn(h, wqkv_ref[...]).astype(dt) + bqkv_ref[0:1, :]
+            qkv = _nn(h, wqkv_ref[...]).astype(dt) + bqkv_ref[0:1, :]
+            # pre-scale the query columns once; phase C' reads them once per
+            # key block, so scaling there would repeat the work n_blocks times
+            qkv_s[sl, 0:d] = qkv[:, 0:d] * jnp.asarray(scale * _LOG2E, dt)
+            qkv_s[sl, d:] = qkv[:, d:]
 
         @pl.when(i * block >= vl)
         def _padded():
@@ -362,21 +366,27 @@ def _bwd_kernel(scale: float, block: int, n_blocks: int, num_heads: int,
 
     def c_step(kj, _):
         sl = pl.ds(kj * block, block)
-        row = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + kj * block
-        rneg = jnp.where(row < vl, 0.0, _NEG).astype(jnp.float32)
 
-        @pl.when(kj * block < vl)
-        def _valid():
+        def attn_bwd(boundary: bool):
+            # key rows beyond vl carry garbage-nonzero k/v (phase A' writes
+            # real LN+bias values for the partial block's tail); only the
+            # boundary block needs the mask add — interior blocks skip the
+            # (block, s_pad) VPU pass entirely
+            row = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) \
+                + kj * block
+            rneg = jnp.where(row < vl, 0.0, _NEG).astype(jnp.float32)
             for h_i in range(num_heads):
                 lo = h_i * hd
-                qs = qkv_s[:, lo:lo + hd] * (scale * _LOG2E)
+                qs = qkv_s[:, lo:lo + hd]  # pre-scaled by phase A'
                 do = dattn_s[:, lo:lo + hd]
                 lse_r = rows_t[(num_heads + h_i) * LANES:
                                (num_heads + h_i) * LANES + 1, :]
                 delta_r = rows_t[h_i * LANES:h_i * LANES + 1, :]
                 k_blk = qkv_s[sl, d + lo:d + lo + hd]
                 v_blk = qkv_s[sl, 2 * d + lo:2 * d + lo + hd]
-                s_t = _nt(k_blk, qs) + rneg
+                s_t = _nt(k_blk, qs)
+                if boundary:
+                    s_t = s_t + rneg
                 p_t = jnp.exp2(s_t - lse_r)
                 dv = _nn(p_t.astype(dt), do)
                 dp_t = _nt(v_blk, do)
@@ -385,6 +395,14 @@ def _bwd_kernel(scale: float, block: int, n_blocks: int, num_heads: int,
                 dq_acc[:, lo:lo + hd] += _tn(ds_t, k_blk)
                 dqkv_s[sl, d + lo:d + lo + hd] = (dk * (1.0 / _LOG2E)).astype(dt)
                 dqkv_s[sl, 2 * d + lo:2 * d + lo + hd] = dv.astype(dt)
+
+        @pl.when(kj * block + block <= vl)
+        def _interior():
+            attn_bwd(boundary=False)
+
+        @pl.when((kj * block < vl) & (kj * block + block > vl))
+        def _boundary():
+            attn_bwd(boundary=True)
 
         @pl.when(kj * block >= vl)
         def _padded():
@@ -463,8 +481,20 @@ def _pack_weights(params, dt, d, f):
 
 def _bwd_block(block: int, s_pad: int) -> int:
     """The backward's key-block size: doubled when it still divides s_pad
-    (fewer loop trips; measured 9.10 -> 8.74 ms at the canonical shape)."""
+    (fewer loop trips; measured 9.10 -> 8.74 ms at the canonical shape).
+    Coarsening further is a measured LOSS (4x: 8.64 -> 10.26 ms at the
+    canonical shape — the 1024-row score temporaries crowd VMEM and stall
+    the input-stream double buffering)."""
     return 2 * block if s_pad % (2 * block) == 0 else block
+
+
+def _fwd_block(block: int, s_pad: int) -> int:
+    """The forward's compute-block size, decoupled from the padding
+    granularity. Coarsening was measured a LOSS at the canonical shape
+    (256 -> 512: 3.55 -> 3.81 ms; -> 1024: 3.85 ms — bigger score
+    temporaries crowd VMEM and stall the input-stream double buffering),
+    so the forward tiles at the padding block."""
+    return block
 
 
 def vmem_estimate(s_pad: int, d: int, f: int, num_heads: int, block: int,
@@ -488,6 +518,7 @@ def _run_fwd(x, valid_len, params, num_heads, eps1, eps2, block, interpret,
     f = params[8].shape[1]  # w1 (D, F)
     hd = d // num_heads
     s_pad = ((s + block - 1) // block) * block
+    block = _fwd_block(block, s_pad)
     scale = 1.0 / (hd ** 0.5)
     xp = _pad_seq(x, s_pad)
     vl = valid_len.astype(jnp.int32)
