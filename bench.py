@@ -12,7 +12,13 @@ independently sampled (a duplicated-view bench would undercount the per-step
 work and degenerate the loss). Exact-width channel bucketing is on, as in
 training (bucket_round=1: zero padded-channel work).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
+Prints the canonical JSON line {"metric", "value", "unit", "vs_baseline",
+"mfu", "device_img_s_per_chip", ...} IMMEDIATELY after the core timed loop and
+its device-trace pass, so a harness timeout during the optional later phases
+(disk-decode, B/16) can never lose the round's record; when those phases run,
+an enriched line with their fields is printed last (consumers should take the
+LAST parseable line). The later phases are skipped when the remaining wall
+budget (``CHADAVIT_BENCH_BUDGET_S``, default 600 s) is too low to finish them.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); the A100
 reference figure is the analytic estimate recorded in BASELINE.md
@@ -74,6 +80,12 @@ def model_flops_per_image(c: int, depth=12, d=192, f=2048, n=196, p=16) -> float
 
 
 def main():
+    t_start = time.time()
+    budget_s = float(os.environ.get("CHADAVIT_BENCH_BUDGET_S", 600))
+
+    def remaining_s() -> float:
+        return budget_s - (time.time() - t_start)
+
     import jax
 
     # persistent compilation cache: repeated bench runs skip the (minutes-long)
@@ -166,18 +178,42 @@ def main():
         _ = float(m["dino_loss"])  # hard sync
         return state, rng, m, n_i
 
-    # warmup: compile every bucket width once (aug + step)
-    seen = set()
+    # warmup: compile every bucket width once (aug + step). The per-width
+    # programs are independent, and the tunneled backend recompiles all of
+    # them whenever its fingerprint changes (the persistent cache keys on it),
+    # so issue the compiles from a thread pool — tracing is thread-local-safe
+    # and the compile service overlaps requests (measured ~3x on 10 widths).
     batches = list(loader)
+    uniq = {}
     for b in batches:
-        w = b["images"].shape[1]
-        if w not in seen:
-            seen.add(w)
-            print(f"compiling width={w}...", file=sys.stderr, flush=True)
-            aug_rng, sub = jax.random.split(aug_rng)
-            state, m = run_one(sub, b)
-            _ = float(m["dino_loss"])
-            print(f"width={w} compiled", file=sys.stderr, flush=True)
+        uniq.setdefault(b["images"].shape[1], b)
+    warm_keys = dict(zip(uniq, jax.random.split(aug_rng, len(uniq) + 1)[1:]))
+
+    def _warm(w):
+        # AOT lower+compile only — no execution, so the step's donated state
+        # buffers stay live across concurrent warmups; results land in the
+        # persistent cache, which the settle pass below then hits
+        print(f"compiling width={w}...", file=sys.stderr, flush=True)
+        b = uniq[w]
+        step.lower(state, {"images": jnp.asarray(b["images"]),
+                           "channel_counts": jnp.asarray(b["channel_counts"]),
+                           "rng": warm_keys[w]}).compile()
+        print(f"width={w} compiled", file=sys.stderr, flush=True)
+
+    if os.environ.get("CHADAVIT_BENCH_PAR_COMPILE", "1") != "0":
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(_warm, uniq))
+    else:
+        for w in uniq:
+            _warm(w)
+    # settle: one executed step per width primes the jit wrapper's in-memory
+    # cache (compiles are persistent-cache hits now) and warms allocators
+    for w, b in uniq.items():
+        state, m = run_one(warm_keys[w], b)
+        _ = float(m["dino_loss"])
+    print(f"warmup done at t={time.time() - t_start:.0f}s", file=sys.stderr, flush=True)
 
     timed = batches[:STEPS]
     n_img = sum(len(b["labels"]) for b in timed)
@@ -195,6 +231,12 @@ def main():
         print(f"repeat {r}: {dts[-1]:.2f}s ({n_img / dts[-1]:.1f} img/s)",
               file=sys.stderr, flush=True)
         assert np.isfinite(float(m["dino_loss"]))
+        # keep enough budget for the trace pass + the canonical print: under
+        # heavy tunnel contention 5 repeats alone can eat the whole window
+        if r >= 1 and remaining_s() < 3 * dts[-1] + 60:
+            print(f"stopping repeats early ({remaining_s():.0f}s left)",
+                  file=sys.stderr)
+            break
     dt = min(dts)
 
     # device-busy truth from a profiler trace of one timed pass: wall-clock on
@@ -229,26 +271,62 @@ def main():
                         dev_s += sum(ev.duration_ps for ev in line.events) / 1e12
         return dev_s / max(n_planes, 1)
 
-    dev_img_s = None
-    try:
-        def _trace_synth():
-            nonlocal state, aug_rng
-            for b in timed:
-                aug_rng, sub = jax.random.split(aug_rng)
-                state, m = run_one(sub, b)
-            _ = float(m["dino_loss"])
+    # ---- canonical record: printed NOW — before the trace pass and the
+    # optional later phases — so a harness timeout can never lose the round's
+    # core numbers (the round-3 bench ran every phase before its single print
+    # and the budget expired mid-B/16: rc=124, parsed=null). Re-printed with
+    # more fields as later phases land; consumers take the LAST parseable line.
+    n_chips = max(len(jax.devices()), 1)
+    img_s_chip = n_img / dt / n_chips
+    mfu = flops / dt / n_chips / V5E_PEAK_FLOPS
+    out = {
+        "metric": "dino_pretrain_images_per_sec_per_chip",
+        "value": round(img_s_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s_chip / A100_EST_IMG_S, 3),
+        "mfu": round(mfu, 4),
+        "batch": BATCH,
+        "timed_steps": len(timed),
+        "pipeline": "uint8 host->device + on-device 2-view asymmetric augment + train step",
+    }
+    print(json.dumps(out), flush=True)
 
-        dev_s = traced_device_seconds(_trace_synth)
-        if dev_s > 0:
-            dev_img_s = n_img / dev_s
-    except Exception as e:  # pragma: no cover - profiling is best-effort
-        print(f"device-trace pass skipped: {e}", file=sys.stderr)
+    dev_img_s = None
+    if remaining_s() < 1.5 * dt + 20:
+        print(f"device-trace pass skipped: {remaining_s():.0f}s left", file=sys.stderr)
+    else:
+        try:
+            def _trace_synth():
+                nonlocal state, aug_rng
+                for b in timed:
+                    aug_rng, sub = jax.random.split(aug_rng)
+                    state, m = run_one(sub, b)
+                _ = float(m["dino_loss"])
+
+            dev_s = traced_device_seconds(_trace_synth)
+            if dev_s > 0:
+                dev_img_s = n_img / dev_s
+        except Exception as e:  # pragma: no cover - profiling is best-effort
+            print(f"device-trace pass skipped: {e}", file=sys.stderr)
+    if dev_img_s is not None:
+        out["device_img_s_per_chip"] = round(dev_img_s / n_chips, 2)
+        out["device_mfu"] = round(flops / (n_img / dev_img_s) / n_chips
+                                  / V5E_PEAK_FLOPS, 4)
+        print(json.dumps(out), flush=True)
 
     # ---- disk-decode phase: identical step, batches decoded from on-disk
     # PNG planes by the C++ batch loader (native_batch_fn) — proves the host
-    # pipeline feeds the chip with decode in the loop (VERDICT r2 item #1)
+    # pipeline feeds the chip with decode in the loop (VERDICT r2 item #1).
+    # Cost estimate: ~90 s generation (skipped when the persisted dataset is
+    # present) + host pass + 3 timed epochs + cached epoch ≈ 150-250 s.
     disk_wall_img_s = disk_planes_s = disk_cached_img_s = None
-    if DISK:
+    disk_budget_need = 150 if os.path.exists(os.path.join(DISK_ROOT, ".complete")) else 250
+    run_disk = DISK
+    if run_disk and remaining_s() < disk_budget_need:
+        print(f"disk phase skipped: {remaining_s():.0f}s left < {disk_budget_need}s needed",
+              file=sys.stderr)
+        run_disk = False
+    if run_disk:
         try:
             from chadavit_tpu.data import native
 
@@ -324,7 +402,14 @@ def main():
     # scripts/profile_step.py CHADAVIT_PROFILE_MODEL=b16, so the persistent
     # compile cache covers it.
     b16_dev_img_s = b16_mfu = b16_wall_img_s = None
-    if B16:
+    do_b16 = B16
+    # B/16 cost: build + 2 settle steps + timed steps + trace pass; compiles
+    # are cache-warm after the first-ever run but still ~60-120 s cold
+    if do_b16 and remaining_s() < 150:
+        print(f"b16 phase skipped: {remaining_s():.0f}s left < 150s needed",
+              file=sys.stderr)
+        do_b16 = False
+    if do_b16:
         try:
             from chadavit_tpu.data.device_augment import make_multicrop_fn
 
@@ -379,24 +464,11 @@ def main():
         except Exception as e:  # pragma: no cover - keep the core bench robust
             print(f"b16 phase skipped: {e}", file=sys.stderr)
 
-    n_chips = max(len(jax.devices()), 1)
-    img_s_chip = n_img / dt / n_chips
-    mfu = flops / dt / n_chips / V5E_PEAK_FLOPS
-    out = {
-        "metric": "dino_pretrain_images_per_sec_per_chip",
-        "value": round(img_s_chip, 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(img_s_chip / A100_EST_IMG_S, 3),
-        "mfu": round(mfu, 4),
-        "batch": BATCH,
-        "timed_steps": len(timed),
-        "pipeline": "uint8 host->device + on-device 2-view asymmetric augment + train step",
-    }
-    if dev_img_s is not None:
-        out["device_img_s_per_chip"] = round(dev_img_s / n_chips, 2)
-        out["device_mfu"] = round(flops / (n_img / dev_img_s) / n_chips
-                                  / V5E_PEAK_FLOPS, 4)
+    # ---- enriched final line: the canonical record plus any optional-phase
+    # fields that landed (consumers take the LAST parseable line)
+    extra = False
     if disk_wall_img_s is not None:
+        extra = True
         out["disk_wall_img_s_per_chip"] = round(disk_wall_img_s / n_chips, 2)
         out["disk_decode_planes_per_s"] = round(disk_planes_s, 1)
         out["disk_pipeline"] = "PNG decode (C++ batch) -> uint8 transfer -> fused augment+step"
@@ -404,12 +476,14 @@ def main():
             # steady-state epochs >= 2 with data.cache_decoded (decode-free)
             out["disk_cached_img_s_per_chip"] = round(disk_cached_img_s / n_chips, 2)
     if b16_wall_img_s is not None:
+        extra = True
         out["b16_wall_img_s_per_chip"] = round(b16_wall_img_s / n_chips, 2)
         out["b16_batch"] = B16_BATCH
         if b16_dev_img_s is not None:
             out["b16_device_img_s_per_chip"] = round(b16_dev_img_s / n_chips, 2)
             out["b16_device_mfu"] = round(b16_mfu / n_chips, 4)
-    print(json.dumps(out))
+    if extra:
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -156,7 +156,8 @@ class EncoderLayer(nn.Module):
     ln_impl: str = "auto"
     # "auto" (fused Pallas layer kernel on TPU when it applies), "fused"
     # (force, interpreted off-TPU), or "xla" (the unfused reference path).
-    # "auto" keys off jax.default_backend() at TRACE time; when lowering for a
+    # "auto" keys off the effective default device at TRACE time (honors
+    # jax.default_device scopes); when lowering for a
     # non-default backend (jit(..., backend=...) or AOT cross-lowering) set
     # block_impl="xla" explicitly — the trace-time probe cannot see the target.
     block_impl: str = "auto"
@@ -182,8 +183,9 @@ class EncoderLayer(nn.Module):
                 and valid_len is not None and self.dropout_rate == 0.0
                 and self.block_impl in ("auto", "fused")):
             from chadavit_tpu.ops import fused_block
+            from chadavit_tpu.ops.attention import _on_tpu
 
-            on_tpu = jax.default_backend() == "tpu"
+            on_tpu = _on_tpu()
             blk = fused_block.pick_block(x.shape[1])
             s_pad = -(-x.shape[1] // blk) * blk
             fits = (d % self.num_heads == 0 and (d // self.num_heads) % 8 == 0

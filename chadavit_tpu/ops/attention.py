@@ -28,7 +28,14 @@ _NEG_INF = float("-inf")
 
 
 def _on_tpu() -> bool:
+    """True when tracing will lower for a TPU. ``jax.default_backend()`` alone
+    is wrong inside a ``jax.default_device(cpu)`` scope (it keeps reporting
+    the process-level backend while eager ops — e.g. ``model.init`` on the
+    host — actually compile for CPU, where Pallas cannot lower)."""
     try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", None) == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
