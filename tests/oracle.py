@@ -62,3 +62,38 @@ def load_reference():
 def load_reference_dino_loss():
     _prepare()
     return _load("src.losses.dino", f"{REF}/src/losses/dino.py")
+
+
+def load_reference_training_pieces():
+    """Load the reference's full training composition as real modules:
+    DINOHead + dino_clip_gradients (``src/methods/dino.py``), LARS
+    (``src/utils/lars.py``), MomentumUpdater/initialize_momentum_params
+    (``src/utils/momentum.py``), LinearWarmupCosineAnnealingLR
+    (``src/utils/lr_scheduler.py``), DINOLoss (``src/losses/dino.py``).
+
+    ``src/methods/base.py`` drags in pytorch_lightning (absent here), so
+    ``BaseMomentumMethod`` is stubbed with a bare ``nn.Module`` — only the
+    class object is needed for ``class DINO(BaseMomentumMethod)`` to define;
+    the trajectory test drives the pieces itself in the Lightning call order.
+    """
+    _prepare()
+    import torch.nn as nn
+
+    losses = _load("src.losses.dino", f"{REF}/src/losses/dino.py")
+    momentum = _load("src.utils.momentum", f"{REF}/src/utils/momentum.py")
+    lars = _load("src.utils.lars", f"{REF}/src/utils/lars.py")
+    lr_sched = _load("src.utils.lr_scheduler", f"{REF}/src/utils/lr_scheduler.py")
+    _fake_pkg("src.methods")
+    _stub("src.methods.base", BaseMomentumMethod=type("BaseMomentumMethod", (nn.Module,), {}))
+    dino = _load("src.methods.dino", f"{REF}/src/methods/dino.py")
+    backbone = _load("src.backbones.vit.chada_vit", f"{REF}/src/backbones/vit/chada_vit.py")
+    return types.SimpleNamespace(
+        DINOLoss=losses.DINOLoss,
+        MomentumUpdater=momentum.MomentumUpdater,
+        initialize_momentum_params=momentum.initialize_momentum_params,
+        LARS=lars.LARS,
+        LinearWarmupCosineAnnealingLR=lr_sched.LinearWarmupCosineAnnealingLR,
+        DINOHead=dino.DINOHead,
+        DINO=dino.DINO,
+        ChAdaViT=backbone.ChAdaViT,
+    )

@@ -353,3 +353,168 @@ def test_classifier_out_of_range_labels_are_invalid():
     state, m = step(state, batch)
     for k in ("train_class_loss", "train_acc1", "train_acc5", "dino_loss"):
         assert np.isfinite(float(m[k])), (k, float(m[k]))
+
+
+def test_composed_trajectory_matches_torch_oracle(rng):
+    """The COMPOSED reference optimization — LARS (lars.py:112-167) + per-param
+    backbone clip (dino.py:249-261) + prototype freeze (dino.py:367-376) +
+    per-step LinearWarmupCosineAnnealingLR (base.py:448-459) + EMA teacher with
+    cosine tau (momentum.py:73-87, base.py:1250-1276) + DINOLoss EMA centering
+    (losses/dino.py:104-118) — run for 20 steps in torch with identical init
+    and batches must be tracked by the JAX train_step: losses, center norm and
+    param norms to ~1e-4 relative (VERDICT r3 next-round item #2).
+
+    Every piece is the REAL reference module (tests/oracle.py
+    load_reference_training_pieces); the loop replays Lightning's call order:
+    training_step -> backward -> on_after_backward (clip+freeze) ->
+    optimizer.step -> scheduler.step -> on_train_batch_end (EMA, then
+    update_tau(global_step)).
+    """
+    torch = pytest.importorskip("torch")
+    from functools import partial
+    from types import SimpleNamespace
+
+    from chadavit_tpu.models import chada_vit, densify_one_channel_batch
+    from chadavit_tpu.models.dino_head import DINOHead as JDINOHead
+    from chadavit_tpu.models.import_torch import (chada_vit_params_from_torch,
+                                                  dino_head_params_from_torch)
+    from chadavit_tpu.train.dino_step import DinoStepConfig, make_dino_train_step
+    from chadavit_tpu.train.optim import build_group_tx
+    from chadavit_tpu.train.schedules import warmup_cosine_lr
+    from chadavit_tpu.train.state import DinoState
+
+    from .oracle import load_reference_training_pieces
+
+    ref = load_reference_training_pieces()
+
+    # CMAX must be 10: the reference's forward always tokenizes with the
+    # DEFAULT max_channels=10 (chada_vit.py:219,274) and skips channel tokens
+    # whenever self.max_channels != 10 — parity only exists on the canonical
+    # configuration (the JAX model documents the quirk, chada_vit.py:373-376)
+    IMG, PATCH, D, DEPTH, HEADS, CMAX = 32, 16, 32, 2, 2, 10
+    P, HID, BTL = 32, 64, 16
+    B, N_STEPS, SPE = 4, 20, 5  # 4 "epochs" of 5 steps
+    COUNTS = [1, 3, 2, 3]
+    LR, WARM, W_START, MIN_LR, WD = 0.2, 5, 0.02, 0.001, 1e-4
+    CLIP, FREEZE = 0.005, 1
+    BASE_TAU, FINAL_TAU = 0.99, 1.0
+    WT_TEMP, T_TEMP, WT_EPOCHS, N_EPOCHS = 0.04, 0.07, 2, 4
+
+    # ---- torch side: real reference modules, Lightning call order ----
+    torch.manual_seed(0)
+    t_backbone = ref.ChAdaViT(img_size=[IMG], patch_size=PATCH, embed_dim=D,
+                              depth=DEPTH, num_heads=HEADS,
+                              return_all_tokens=False, max_number_channels=CMAX)
+    t_head = ref.DINOHead(in_dim=D, num_prototypes=P, use_bn=False,
+                          norm_last_layer=True, hidden_dim=HID, bottleneck_dim=BTL)
+    t_mbackbone = ref.ChAdaViT(img_size=[IMG], patch_size=PATCH, embed_dim=D,
+                               depth=DEPTH, num_heads=HEADS,
+                               return_all_tokens=False, max_number_channels=CMAX)
+    t_mhead = ref.DINOHead(in_dim=D, num_prototypes=P, use_bn=False,
+                           norm_last_layer=True, hidden_dim=HID, bottleneck_dim=BTL)
+    ref.initialize_momentum_params(t_backbone, t_mbackbone)
+    ref.initialize_momentum_params(t_head, t_mhead)
+    t_loss = ref.DINOLoss(num_prototypes=P, warmup_teacher_temp=WT_TEMP,
+                          teacher_temp=T_TEMP, warmup_teacher_temp_epochs=WT_EPOCHS,
+                          num_epochs=N_EPOCHS, student_temp=0.1,
+                          num_large_crops=2, center_momentum=0.9)
+    opt = ref.LARS(list(t_backbone.parameters()) + list(t_head.parameters()),
+                   lr=LR, momentum=0.9, weight_decay=WD, eta=1e-3,
+                   clip_lr=False, exclude_bias_n_norm=True)
+    sched = ref.LinearWarmupCosineAnnealingLR(
+        opt, warmup_epochs=WARM, max_epochs=N_STEPS,
+        warmup_start_lr=W_START, eta_min=MIN_LR)
+    updater = ref.MomentumUpdater(base_tau=BASE_TAU, final_tau=FINAL_TAU)
+
+    # ---- JAX side: identical init via the torch->flax importers ----
+    jmodel = chada_vit(img_size=IMG, patch_size=PATCH, embed_dim=D, depth=DEPTH,
+                       num_heads=HEADS, return_all_tokens=False,
+                       max_number_channels=CMAX)
+    bb_sd = {k: v.detach().numpy() for k, v in t_backbone.state_dict().items()}
+    head_sd = {k: v.detach().numpy() for k, v in t_head.state_dict().items()}
+    student = {"backbone": chada_vit_params_from_torch(bb_sd, depth=DEPTH),
+               "head": dino_head_params_from_torch(head_sd)}
+    # materialize REAL copies NOW: .numpy() views share torch storage (and on
+    # the CPU backend jnp.asarray is zero-copy, so it would keep the alias);
+    # the torch optimizer mutates params in place before the first jitted
+    # step would otherwise convert its (lazy) numpy leaves
+    student = jax.tree.map(lambda x: np.array(x, copy=True), student)
+    jhead = JDINOHead(in_dim=D, num_prototypes=P, use_bn=False,
+                      norm_last_layer=True, hidden_dim=HID, bottleneck_dim=BTL)
+    lr_sched = partial(warmup_cosine_lr, base_lr=LR, total_steps=N_STEPS,
+                       warmup_steps=WARM, warmup_start_lr=W_START, min_lr=MIN_LR)
+    tx = build_group_tx("lars", lr_sched, WD, {"eta": 1e-3, "momentum": 0.9})
+    state = DinoState.create(student, tx.init(student), P)
+    cfg = DinoStepConfig(
+        num_large_crops=2, student_temp=0.1, base_lr=LR, warmup_steps=WARM,
+        warmup_start_lr=W_START, min_lr=MIN_LR, warmup_teacher_temp=WT_TEMP,
+        teacher_temp=T_TEMP, warmup_teacher_temp_epochs=WT_EPOCHS,
+        center_momentum=0.9, clip_grad=CLIP, freeze_last_layer=FREEZE,
+        base_tau=BASE_TAU, final_tau=FINAL_TAU, total_steps=N_STEPS,
+        steps_per_epoch=SPE)
+    step = jax.jit(make_dino_train_step(
+        lambda p, x, cc: jmodel.apply({"params": p}, x, cc),
+        lambda p, f: jhead.apply({"params": p}, f), tx, cfg))
+
+    # ---- identical batches: two independent views per step ----
+    def flat_views(step_i):
+        r = np.random.default_rng(100 + step_i)
+        return [r.standard_normal((sum(COUNTS), 1, IMG, IMG)).astype(np.float32)
+                for _ in range(2)]
+
+    def t_forward(module_b, module_h, flat):
+        feats = module_b(torch.from_numpy(flat), index=0,
+                         list_num_channels=[COUNTS])
+        return module_h(feats)
+
+    t_hist, j_hist = [], []
+    for t in range(N_STEPS):
+        epoch = t // SPE
+        views = flat_views(t)
+
+        # torch: student/teacher fwd (crop-major cat), loss, backward
+        t_loss.epoch = epoch  # on_train_epoch_start (dino.py:263-265)
+        z_s = torch.cat([t_forward(t_backbone, t_head, v) for v in views])
+        with torch.no_grad():
+            z_t = torch.cat([t_forward(t_mbackbone, t_mhead, v) for v in views])
+        loss = t_loss(z_s, z_t)
+        opt.zero_grad()
+        loss.backward()
+        # on_after_backward (dino.py:367-376)
+        ref.DINO.dino_clip_gradients(SimpleNamespace(backbone=t_backbone), CLIP)
+        if epoch < FREEZE:
+            for p in t_head.last_layer.parameters():
+                p.grad = None
+        opt.step()
+        sched.step()
+        # on_train_batch_end (base.py:1250-1276): EMA with cur_tau, then
+        # update_tau at the incremented global step
+        updater.update(t_backbone, t_mbackbone)
+        updater.update(t_head, t_mhead)
+        updater.update_tau(cur_step=t + 1, max_steps=N_STEPS)
+        t_hist.append((float(loss), float(torch.norm(t_loss.center))))
+
+        # JAX: the single fused step on the densified same views
+        dense = [densify_one_channel_batch(v, COUNTS, max_channels=CMAX)
+                 for v in views]
+        crops = jnp.stack([jnp.asarray(d[0]) for d in dense])
+        state, m = step(state, {"crops": crops,
+                                "channel_counts": jnp.asarray(dense[0][1])})
+        j_hist.append((float(m["dino_loss"]), float(m["center_norm"])))
+
+    for t, ((tl, tc), (jl, jc)) in enumerate(zip(t_hist, j_hist)):
+        assert jl == pytest.approx(tl, rel=2e-4), (t, tl, jl)
+        assert jc == pytest.approx(tc, rel=2e-4), (t, tc, jc)
+
+    # end-of-trajectory state: student + teacher global param norms
+    def t_gnorm(mod):
+        return float(torch.sqrt(sum((p ** 2).sum() for p in mod.parameters())))
+
+    def j_gnorm(tree):
+        return float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float64) ** 2)
+                                  for x in jax.tree.leaves(tree))))
+
+    assert j_gnorm(state.student["backbone"]) == pytest.approx(t_gnorm(t_backbone), rel=1e-4)
+    assert j_gnorm(state.student["head"]) == pytest.approx(t_gnorm(t_head), rel=1e-4)
+    assert j_gnorm(state.teacher["backbone"]) == pytest.approx(t_gnorm(t_mbackbone), rel=1e-4)
+    assert j_gnorm(state.teacher["head"]) == pytest.approx(t_gnorm(t_mhead), rel=1e-4)
