@@ -6,6 +6,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-CLI smokes: dozens of tiny-mesh compiles
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
@@ -177,6 +179,44 @@ def test_knn_reconstructs_model_from_args_json(tmp_path, monkeypatch):
         "name=knn-args-smoke",
     ])
     assert (tmp_path / "knn-args-smoke_knn_offline_eval.csv").exists()
+
+
+def test_knn_from_torch_lightning_ckpt(tmp_path, monkeypatch):
+    """The FULL eval path from a torch Lightning checkpoint: encoder.-prefixed
+    state dict -> remap/qkv-split import -> feature extraction -> kNN CSV
+    (VERDICT r3 item #6; reference HOW_TO_USE cells 8-26 / main_knn.py flow)."""
+    torch = pytest.importorskip("torch")
+    monkeypatch.chdir(tmp_path)
+    tests_dir = os.path.join(REPO, "tests")
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    from oracle import load_reference
+
+    ref = load_reference()
+    torch.manual_seed(3)
+    tmodel = ref.ChAdaViT(img_size=[32], patch_size=16, embed_dim=32, depth=2,
+                          num_heads=2, return_all_tokens=False,
+                          max_number_channels=10)
+    sd = {("encoder." + k): v for k, v in tmodel.state_dict().items()}
+    ckpt = tmp_path / "lightning.ckpt"
+    torch.save({"state_dict": sd, "epoch": 11}, ckpt)
+
+    import main_knn
+
+    main_knn.main([
+        "--config-path", SMOKE, "--config-name", "knn_synthetic",
+        f"pretrained_feature_extractor={ckpt}",
+        "backbone.kwargs.embed_dim=32", "backbone.kwargs.max_number_channels=10",
+        "name=knn-torch-ckpt",
+    ])
+    csv_path = tmp_path / "knn-torch-ckpt_knn_offline_eval.csv"
+    assert csv_path.exists()
+    lines = csv_path.read_text().strip().splitlines()
+    assert len(lines) == 3
+    for row in lines[1:]:  # top1/top5 parse and are valid percentages
+        cells = row.split(",")
+        top1, top5 = float(cells[-2]), float(cells[-1])
+        assert 0.0 <= top1 <= 100.0 and 0.0 <= top5 <= 100.0
 
 
 def test_main_pretrain_model_parallel(tmp_path, monkeypatch):

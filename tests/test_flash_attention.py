@@ -4,6 +4,8 @@ reference (interpret mode on CPU; the same kernels compile on TPU)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas: minutes of tracing on CPU
+
 import jax
 import jax.numpy as jnp
 

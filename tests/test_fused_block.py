@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas: minutes of tracing on CPU
+
 from chadavit_tpu.models.chada_vit import EncoderLayer, channel_padding_mask
 from chadavit_tpu.ops.fused_block import fused_encoder_block
 

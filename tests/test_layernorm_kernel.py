@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas: minutes of tracing on CPU
+
 import jax
 import jax.numpy as jnp
 
