@@ -120,6 +120,11 @@ def make_probe_train_step(
         params = {"backbone": state.backbone, "classifier": state.classifier}
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, state.opt_state, params)
+        if "lr_scale" in batch:
+            # host-driven lr multiplier (ReduceLROnPlateau, schedules.PlateauScale):
+            # optax chains end in scale_by_learning_rate, so scaling the final
+            # update equals scaling the lr
+            updates = jax.tree.map(lambda u: u * batch["lr_scale"], updates)
         new_params = optax.apply_updates(params, updates)
         new_state = state.replace(
             step=state.step + 1,

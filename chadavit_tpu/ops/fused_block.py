@@ -494,7 +494,11 @@ def _fwd_block(block: int, s_pad: int) -> int:
     (256 -> 512: 3.55 -> 3.81 ms; -> 1024: 3.85 ms — bigger score
     temporaries crowd VMEM and stall the input-stream double buffering),
     so the forward tiles at the padding block."""
-    return block
+    result = block
+    # the grid math in _run_fwd assumes the compute block divides s_pad; a
+    # future non-identity choice must preserve that
+    assert s_pad % result == 0, (s_pad, result)
+    return result
 
 
 def vmem_estimate(s_pad: int, d: int, f: int, num_heads: int, block: int,

@@ -77,10 +77,65 @@ def make_lr_schedule(name: str, base_lr: float, total_steps: int,
     elif name == "exponential":
         def sched(step):
             return exponential_lr(step, base_lr, gamma)
-    elif name == "none":
+    elif name in ("none", "reduce"):
+        # "reduce" (ReduceLROnPlateau, reference ``linear.py:360-361``) keeps
+        # the lr constant until a plateau; the metric-driven decay is the
+        # host-side ``PlateauScale`` multiplying an ``lr_scale`` step input
+        # (metric feedback cannot live inside a traced step-indexed schedule)
         def sched(step):
             return jnp.asarray(base_lr, jnp.float32)
     else:
         raise ValueError(f"unknown scheduler {name!r}; "
-                         "expected warmup_cosine/step/exponential/none")
+                         "expected warmup_cosine/step/exponential/none/reduce")
     return sched
+
+
+class PlateauScale:
+    """Host-side ReduceLROnPlateau controller (torch defaults: mode=min,
+    factor=0.1, patience=10, threshold=1e-4 rel, cooldown=0), reference
+    ``src/methods/linear.py:360-361`` — ``ReduceLROnPlateau(optimizer)``.
+
+    TPU-native split: the jitted step stays a pure function; this object
+    watches a per-epoch metric on the host and emits a scalar lr multiplier
+    fed to the step as the ``lr_scale`` input. Semantics are oracle-tested
+    against ``torch.optim.lr_scheduler.ReduceLROnPlateau``
+    (tests/test_utils.py)."""
+
+    def __init__(self, mode: str = "min", factor: float = 0.1, patience: int = 10,
+                 threshold: float = 1e-4, threshold_mode: str = "rel",
+                 cooldown: int = 0, min_scale: float = 0.0, eps: float = 1e-8):
+        assert mode in ("min", "max") and threshold_mode in ("rel", "abs")
+        self.mode, self.factor, self.patience = mode, factor, patience
+        self.threshold, self.threshold_mode = threshold, threshold_mode
+        self.cooldown, self.min_scale, self.eps = cooldown, min_scale, eps
+        self.scale = 1.0
+        self.best = float("inf") if mode == "min" else -float("inf")
+        self.num_bad = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, metric: float) -> bool:
+        if self.mode == "min":
+            thr = (self.best * (1.0 - self.threshold) if self.threshold_mode == "rel"
+                   else self.best - self.threshold)
+            return metric < thr
+        thr = (self.best * (1.0 + self.threshold) if self.threshold_mode == "rel"
+               else self.best + self.threshold)
+        return metric > thr
+
+    def step(self, metric: float) -> float:
+        """Record one epoch's monitored metric; returns the current scale."""
+        if self._is_better(float(metric)):
+            self.best = float(metric)
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.cooldown_counter > 0:  # cooldown suppresses bad-epoch counting
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            new = max(self.scale * self.factor, self.min_scale)
+            if self.scale - new > self.eps:  # torch's eps guard on tiny deltas
+                self.scale = new
+            self.cooldown_counter = self.cooldown
+            self.num_bad = 0
+        return self.scale

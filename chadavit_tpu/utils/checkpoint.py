@@ -5,7 +5,7 @@ Layout mirrors the reference contract so tooling carries over:
 ``{dir}/{method}/{run_id}/{name}-{run_id}-ep={N}`` plus an ``args.json``
 sidecar dumping the full config (reference ``checkpointer.py:104-146``); the
 previous checkpoint is deleted unless ``keep_prev``. Auto-resume scans every
-run's ``args.json`` for the 13 SHOULD_MATCH keys and returns the newest
+run's ``args.json`` for the 12 SHOULD_MATCH keys and returns the newest
 checkpoint younger than ``max_hours`` (reference ``auto_resumer.py:16-29,65-107``).
 
 The saved pytree is the full train state: for DINO that is

@@ -16,6 +16,7 @@ from chadavit_tpu.config import parse_linear_cfg
 from chadavit_tpu.data.classification import dataset_img_channels, prepare_data
 from chadavit_tpu.eval.features import features_dim, make_feature_fn
 from chadavit_tpu.eval.metrics import classification_suite, confusion_matrix, plot_confusion_matrix
+from chadavit_tpu.train.schedules import PlateauScale
 from chadavit_tpu.eval.probe import ProbeStepConfig, make_probe_eval_step, make_probe_train_step
 from chadavit_tpu.train.optim import build_group_tx, grouped_optimizer
 from chadavit_tpu.train.state import ProbeState
@@ -112,20 +113,34 @@ def run_probe(cfg, task="classification"):
     logger = MetricLogger(".", name=f"{cfg.name}_probe_logs.txt")
     rng = jax.random.PRNGKey(cfg.get("seed") or 5)
     max_steps = cfg.get("max_steps")
+    # "reduce" scheduler (reference linear.py:360-361): host-side plateau
+    # controller scaling the lr via the step's lr_scale input; monitors the
+    # mean train loss per epoch (the reference registers the torch scheduler
+    # with no monitor wired — torch defaults apply)
+    plateau = (PlateauScale() if cfg.scheduler.get("name") == "reduce" else None)
+    lr_scale = 1.0
     done = 0
     for epoch in range(cfg.max_epochs):
         train_loader.set_epoch(epoch)
+        epoch_loss, epoch_n = 0.0, 0
         for batch in train_loader:
             rng, sub = jax.random.split(rng)
             dev = {"images": jnp.asarray(batch["images"]),
                    "channel_counts": jnp.asarray(batch["channel_counts"]),
                    "labels": jnp.asarray(batch["labels"])}
+            if plateau is not None:
+                dev["lr_scale"] = jnp.asarray(lr_scale, jnp.float32)
             state, metrics = train_step(state, dev, sub)
             done += 1
+            if plateau is not None:
+                epoch_loss += float(metrics["loss"])
+                epoch_n += 1
             if done % cfg.get("log_every", 50) == 0:
                 logger.log({k: float(v) for k, v in metrics.items()}, step=done)
             if max_steps and done >= max_steps:
                 break
+        if plateau is not None and epoch_n:
+            lr_scale = plateau.step(epoch_loss / epoch_n)
         if max_steps and done >= max_steps:
             break
 
