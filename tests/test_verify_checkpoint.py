@@ -14,10 +14,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_checkpoint_gate_selftest():
+    # no --img: the gate follows the committed goldens' resolution (224, the
+    # canonical HOW_TO_USE input size — VERDICT r3 item #6)
     pytest.importorskip("torch")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "verify_checkpoint.py"),
-         "--selftest", "--img", "64"],
+         "--selftest"],
         capture_output=True, text=True, timeout=560)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "PASS" in proc.stdout
+
+
+def test_committed_goldens_are_canonical_resolution():
+    import numpy as np
+
+    g = np.load(os.path.join(REPO, "tests", "goldens",
+                             "chadavit16_moyen_selftest.npz"))
+    assert int(g["img"]) == 224
