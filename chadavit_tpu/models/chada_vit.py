@@ -161,6 +161,10 @@ class EncoderLayer(nn.Module):
     # non-default backend (jit(..., backend=...) or AOT cross-lowering) set
     # block_impl="xla" explicitly — the trace-time probe cannot see the target.
     block_impl: str = "auto"
+    # multi-device (data, model) mesh: Pallas paths must run under shard_map
+    # (GSPMD cannot partition a pallas_call) — batch shards over data, heads
+    # over model. None = single device, direct kernel calls.
+    shard_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -195,16 +199,35 @@ class EncoderLayer(nn.Module):
                     <= fused_block.VMEM_BYTES)
             if fits and (self.block_impl == "fused" or on_tpu):
                 p = self.variables["params"]
-                return fused_block.fused_encoder_block(
-                    x, valid_len,
+                weights = (
                     p["in_proj_kernel"], p["in_proj_bias"],
                     p["out_proj_kernel"], p["out_proj_bias"],
                     n1_scale, n1_bias, n2_scale, n2_bias,
                     p["linear1"]["kernel"], p["linear1"]["bias"],
                     p["linear2"]["kernel"], p["linear2"]["bias"],
-                    self.num_heads, self.layer_norm_eps, self.layer_norm_eps,
-                    blk, not on_tpu,
                 )
+
+                def _fused(x_, vl_, *ws):
+                    return fused_block.fused_encoder_block(
+                        x_, vl_, *ws,
+                        self.num_heads, self.layer_norm_eps,
+                        self.layer_norm_eps, blk, not on_tpu)
+
+                if self.shard_mesh is not None and self.shard_mesh.size > 1:
+                    # multi-device DP: shard_map the whole-layer kernel over
+                    # the data axis (weights replicated; GSPMD cannot
+                    # partition the pallas custom call itself)
+                    from jax.sharding import PartitionSpec as P
+
+                    from chadavit_tpu.parallel.mesh import DATA_AXIS
+
+                    rep = P()
+                    fn = jax.shard_map(
+                        _fused, mesh=self.shard_mesh,
+                        in_specs=(P(DATA_AXIS), P(DATA_AXIS)) + (rep,) * 12,
+                        out_specs=P(DATA_AXIS), check_vma=False)
+                    return fn(x, valid_len, *weights)
+                return _fused(x, valid_len, *weights)
 
         def ln(v, scale, bias, residual=None):
             return layernorm(v, scale, bias, self.layer_norm_eps,
@@ -234,6 +257,7 @@ class EncoderLayer(nn.Module):
             impl=self.attn_impl,
             return_weights=return_attention,
             valid_len=valid_len,
+            mesh=None if self.is_initializing() else self.shard_mesh,
         )
         if return_attention:
             return attn_weights
@@ -284,6 +308,7 @@ class ChAdaViT(nn.Module):
     attn_impl: str = "auto"
     ln_impl: str = "auto"
     block_impl: str = "auto"
+    shard_mesh: Any = None  # multi-device mesh for the Pallas paths (see EncoderLayer)
     # pad the token sequence (1 + C_max*N = 1961 canonically) up to a multiple
     # of this so every matmul/kernel tiles cleanly on (8,128) hardware tiles;
     # extra positions are masked and sliced off. 0 disables.
@@ -328,6 +353,7 @@ class ChAdaViT(nn.Module):
                 attn_impl=self.attn_impl,
                 ln_impl=self.ln_impl,
                 block_impl=self.block_impl,
+                shard_mesh=self.shard_mesh,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
@@ -520,6 +546,7 @@ def chada_vit(**kwargs) -> ChAdaViT:
         attn_impl=kwargs.get("attn_impl", "auto"),
         ln_impl=kwargs.get("ln_impl", "auto"),
         block_impl=kwargs.get("block_impl", "auto"),
+        shard_mesh=kwargs.get("shard_mesh"),
         seq_pad_multiple=kwargs.get("seq_pad_multiple", 128),
         patch_embed_conv=kwargs.get("patch_embed_conv", True),
     )

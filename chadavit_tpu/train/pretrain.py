@@ -137,6 +137,17 @@ def build_dino(
                 "Use block_impl='xla' (or 'auto', which falls back).")
         bk["block_impl"] = "xla"
     is_chada = spec.backbone in ("vit_channels", "chada_vit")
+    if is_chada and mesh.size > 1:
+        # Pallas paths on a multi-device mesh must run under shard_map (GSPMD
+        # cannot partition a pallas_call): batch shards over the data axis,
+        # attention heads over the model axis (ops/attention.py
+        # prefix_flash_attention_sharded). Heads must divide the model axis;
+        # otherwise attention falls back to the (GSPMD-partitionable) XLA path.
+        n_model = dict(mesh.shape).get(MODEL_AXIS, 1)
+        if bk.get("num_heads", 2) % n_model == 0:
+            bk["shard_mesh"] = mesh
+        elif bk.get("attn_impl", "auto") != "xla":
+            bk["attn_impl"] = "xla"
     if not is_chada:
         bk.pop("return_all_tokens", None)
         bk.pop("max_number_channels", None)

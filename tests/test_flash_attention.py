@@ -162,3 +162,53 @@ def test_prefix_flash_block128(rng):
     for name, a, b_ in zip("qkv", g_ref, g_out):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_prefix_flash_sharded_matches_xla_tp_mesh(rng):
+    """Head/batch-sharded flash attention (shard_map over a {data:4, model:2}
+    virtual mesh — VERDICT r3 item #5) matches XLA forward AND backward.
+    This is the kernel path TP/FSDP training keeps instead of falling back to
+    unfused XLA attention (train/pretrain.py wires shard_mesh)."""
+    from chadavit_tpu.ops.attention import prefix_flash_attention_sharded
+    from chadavit_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_model=2)  # {data: 4, model: 2} on the virtual devices
+    counts = [1, 4, 2, 3, 1, 2, 4, 3]  # B=8 divides data=4
+    n, d, h = 16, 64, 2  # heads divide model axis; S = 1 + 4*16 = 65
+    q, k, v, valid_len, mask = _inputs(rng, counts, n, d, 4)
+
+    ref, _ = xla_masked_attention(q, k, v, mask, h)
+    out = prefix_flash_attention_sharded(q, k, v, valid_len, h, mesh,
+                                         block=256, interpret=True)
+    for i, vl in enumerate(np.asarray(valid_len)):
+        np.testing.assert_allclose(np.asarray(out)[i, :vl], np.asarray(ref)[i, :vl],
+                                   rtol=2e-5, atol=2e-5)
+
+    w = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    valid_cols = ~mask
+
+    def loss(attn_fn):
+        def f(q, k, v):
+            o = attn_fn(q, k, v)
+            return jnp.sum(jnp.where(valid_cols[..., None], o * w, 0.0))
+        return f
+
+    g_ref = jax.grad(loss(lambda q, k, v: xla_masked_attention(q, k, v, mask, h)[0]),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss(lambda q, k, v: prefix_flash_attention_sharded(
+        q, k, v, valid_len, h, mesh, block=256, interpret=True)),
+                     argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_ref, g_out):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_prefix_flash_sharded_rejects_bad_divisibility(rng):
+    from chadavit_tpu.ops.attention import prefix_flash_attention_sharded
+    from chadavit_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_model=2)
+    q = jnp.zeros((8, 65, 96), jnp.float32)
+    with pytest.raises(ValueError, match="heads"):
+        prefix_flash_attention_sharded(q, q, q, jnp.ones((8,), jnp.int32),
+                                       3, mesh, interpret=True)

@@ -228,3 +228,37 @@ def test_fused_block128_parity():
         np.testing.assert_allclose(np.asarray(fus_leaves[key]),
                                    np.asarray(v_ref),
                                    rtol=1e-3, atol=1e-4, err_msg=key)
+
+
+def test_fused_layer_sharded_over_dp_mesh_matches_unfused():
+    """EncoderLayer with shard_mesh set runs the fused kernel under shard_map
+    over the data axis (the multi-device DP path: GSPMD cannot partition a
+    pallas_call — chada_vit.py wires this; VERDICT r3 item #5 follow-through)
+    and matches the unfused XLA layer. B=8 shards over data=8."""
+    from chadavit_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_model=1)  # {data: 8}
+    rng = np.random.default_rng(1)
+    b = 8
+    x = jnp.asarray(rng.standard_normal((b, S, D)), jnp.float32)
+    vl = jnp.asarray([200, 60, 130, 64, 200, 1, 130, 190], jnp.int32)
+    mask = jnp.arange(S)[None, :] >= vl[:, None]
+
+    ref_layer = EncoderLayer(embed_dim=D, num_heads=H, ffn_dim=F,
+                             layer_norm_eps=EPS, attn_impl="xla",
+                             ln_impl="xla", block_impl="xla")
+    params = ref_layer.init(jax.random.PRNGKey(0), x, mask, valid_len=vl)["params"]
+    ref = ref_layer.apply({"params": params}, x, mask, valid_len=vl)
+
+    # block_impl="fused" forces the kernel on CPU (interpret mode); with
+    # shard_mesh it must take the shard_map branch
+    sh_layer = EncoderLayer(embed_dim=D, num_heads=H, ffn_dim=F,
+                            layer_norm_eps=EPS, attn_impl="xla",
+                            ln_impl="xla", block_impl="fused", shard_mesh=mesh)
+    out = sh_layer.apply({"params": params}, x, mask, valid_len=vl)
+
+    valid = ~np.asarray(mask)
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(out)[i][valid[i]],
+                                   np.asarray(ref)[i][valid[i]],
+                                   rtol=2e-5, atol=2e-5)

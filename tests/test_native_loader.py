@@ -343,6 +343,48 @@ def test_decoded_plane_cache(image_dir, monkeypatch):
     np.testing.assert_array_equal(c1["images"], b1["images"])
 
 
+def test_decoded_plane_cache_overflow(tmp_path, monkeypatch):
+    """Dataset EXCEEDS ``cache_decoded`` byte cap (VERDICT r3 item #3): the
+    insert-once store fills to the cap, later planes stay uncached, and from
+    epoch 2 on only the overflow rows re-decode — partial caching degrades
+    gracefully with bit-identical batches, never wrong results."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    paths, planes = [], []
+    for i in range(6):
+        a = (rng.random((16, 16)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"p{i}.png")
+        Image.fromarray(a).save(p)
+        paths.append(p)
+        planes.append(a)
+
+    class DS:  # one single-plane image per file; cap holds exactly the first 4
+        file_list = [(f"im{i}", i, [paths[i]]) for i in range(6)]
+
+    calls = []
+    real = native.load_dense_batch_raw
+
+    def counting(batch_paths, *a, **k):
+        calls.append(len(batch_paths))
+        return real(batch_paths, *a, **k)
+
+    monkeypatch.setattr(native, "load_dense_batch_raw", counting)
+    cache = native.DecodedPlaneCache(max_bytes=4 * 16 * 16)
+    fn = native.make_dense_batch_fn(DS(), 16, num_threads=1, cache=cache)
+
+    e1 = fn(list(range(6)), 1)  # epoch 1: everything decodes, cache fills to cap
+    assert calls == [6]
+    assert cache.bytes == 4 * 16 * 16 and len(cache.store) == 4
+
+    e2 = fn(list(range(6)), 1)  # epoch 2: only the 2 overflow rows re-decode
+    assert calls == [6, 2]
+    assert cache.bytes == 4 * 16 * 16  # cap held; no eviction, no growth
+    np.testing.assert_array_equal(e1["images"], e2["images"])
+    for i in range(6):  # and every row is the true decode
+        np.testing.assert_array_equal(e2["images"][i, 0], planes[i])
+
+
 def _write_png(path, img: np.ndarray, filters, idat_split=1):
     """Hand-assemble a grayscale PNG with an EXPLICIT filter type per row —
     exercises every unfilter branch of the libdeflate fast path in

@@ -49,10 +49,14 @@ def _render_image(seed: int, img_size: int, n_channels: int, depth: int,
 def _write_plane(arr2d: np.ndarray, path: str):
     from PIL import Image
 
+    # compress_level=1: PNG encode is the generator's bottleneck on few-core
+    # hosts (11.3 -> 6.7 ms/plane at 224px for ~10% larger files); decode-side
+    # realism is unaffected (same zlib stream format the loader's libdeflate
+    # fast path walks)
     if arr2d.dtype == np.uint16:
-        Image.fromarray(arr2d, mode="I;16").save(path)
+        Image.fromarray(arr2d, mode="I;16").save(path, compress_level=1)
     else:
-        Image.fromarray(arr2d, mode="L").save(path)
+        Image.fromarray(arr2d, mode="L").save(path, compress_level=1)
 
 
 def _make_one(task):
