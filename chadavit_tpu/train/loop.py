@@ -302,6 +302,13 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
             # C++ batch decode for the val-transform loaders: per-epoch online
             # kNN was measured ~20x slower through the per-plane PIL path
             native_loader=bool(cfg.data.get("native_loader", True)),
+            # knn_eval.train_sample_ratio subsamples the kNN feature bank's
+            # TRAIN split (cached-list semantics, datasets.py sample_ratio):
+            # at 100k-image scale a full-bank extraction re-decodes every
+            # plane per eval (~minutes on few-core hosts) for no measurable
+            # accuracy gain over a 10-20% bank
+            sample_ratio=float(cfg.get("knn_eval", {}).get(
+                "train_sample_ratio", 1.0) or 1.0),
         )
 
     ssl_val = None

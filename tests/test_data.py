@@ -136,6 +136,46 @@ def test_csv_manifest_dataset(tmp_path):
     np.testing.assert_allclose(img[0, 0, 1], 21.0 / 255.0, rtol=1e-6)
 
 
+def test_sample_ratio_cached_subset(tmp_path):
+    """Low-data-regime sample_ratio (reference custom_datasets BloodMNIST
+    :532-559 semantics): the train split subsamples, the picked ids persist to
+    a cache file so re-instantiation returns the SAME subset, and the kNN
+    bank in prepare_data shrinks with it (knn_eval.train_sample_ratio)."""
+    import csv as csvmod
+
+    from PIL import Image
+
+    for i in range(10):
+        Image.fromarray((np.ones((8, 8)) * i).astype(np.uint8)).save(
+            tmp_path / f"img{i}_c0.png")
+    for split in ("train.csv", "test.csv"):
+        with open(tmp_path / split, "w", newline="") as f:
+            csvmod.writer(f).writerows(
+                [[f"id{i}", i % 2, str([f"img{i}_c0.png"])] for i in range(10)])
+
+    ds1 = prepare_datasets("bbbc048", train_path=str(tmp_path), train=True,
+                           sample_ratio=0.4)
+    assert len(ds1) == 4
+    cache = tmp_path / f"train_{type(ds1).__name__}_0.4.txt"
+    assert cache.is_file()
+    ds2 = prepare_datasets("bbbc048", train_path=str(tmp_path), train=True,
+                           sample_ratio=0.4)
+    # same picked ids (the cache restores membership; order follows the manifest)
+    assert {r[0] for r in ds2.file_list} == {r[0] for r in ds1.file_list}
+    # val split never subsamples
+    dsv = prepare_datasets("bbbc048", train_path=str(tmp_path), train=False,
+                           sample_ratio=0.4)
+    assert len(dsv) == 10
+
+    from chadavit_tpu.data.classification import prepare_data
+
+    tr, va = prepare_data("bbbc048", train_path=str(tmp_path),
+                          val_path=str(tmp_path), batch_size=2, max_channels=1,
+                          num_workers=1, crop_size=8, sample_ratio=0.4,
+                          val_transform_for_train=True, native_loader=False)
+    assert len(tr.dataset) == 4 and len(va.dataset) == 10
+
+
 def test_image_folder_dataset(tmp_path):
     from PIL import Image
 
