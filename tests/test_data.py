@@ -1,5 +1,7 @@
 """Data pipeline: transforms, dense collation, threaded loader."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -174,6 +176,27 @@ def test_sample_ratio_cached_subset(tmp_path):
                           num_workers=1, crop_size=8, sample_ratio=0.4,
                           val_transform_for_train=True, native_loader=False)
     assert len(tr.dataset) == 4 and len(va.dataset) == 10
+
+
+def test_committed_idr100k_splits_parse(tmp_path):
+    """The committed reference-format split CSVs (counterpart to the
+    reference's src/data/splits/*) load through the manifest engine: labeled
+    rows, 1-10 channel paths, 7 classes, documented row counts."""
+    import shutil
+
+    splits = os.path.join(os.path.dirname(__file__), "..", "chadavit_tpu",
+                          "data", "splits", "idr100k_synth")
+    shutil.copy(os.path.join(splits, "val.csv"), tmp_path / "test.csv")
+    shutil.copy(os.path.join(splits, "train_10pct.csv"), tmp_path / "train.csv")
+    tr = prepare_datasets("bbbc048", train_path=str(tmp_path), train=True)
+    va = prepare_datasets("bbbc048", train_path=str(tmp_path), train=False)
+    assert len(tr) == 10201 and len(va) == 2081
+    counts = {len(r[2]) for r in tr.file_list} | {len(r[2]) for r in va.file_list}
+    assert counts == set(range(1, 11))
+    # manifest keeps raw CSV targets; _target casts at access time
+    labels = {int(r[1]) for r in tr.file_list} | {int(r[1]) for r in va.file_list}
+    assert labels == set(range(7))
+    assert all(p.endswith(".png") for p in va.file_list[0][2])
 
 
 def test_image_folder_dataset(tmp_path):
