@@ -445,15 +445,15 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         skip = start_step % steps_per_epoch if epoch == start_epoch else 0
 
         def _epoch_batches(skip=skip, g0=gstep):
-            # skip + upload + rng-fold run in the device_prefetch thread, so
-            # batch N+1's host->device transfer overlaps batch N's step (on
+            # upload + rng-fold run in the device_prefetch thread, so batch
+            # N+1's host->device transfer overlaps batch N's step (on
             # networked PJRT backends device_put blocks on the wire); the
             # producer's step counter mirrors the consumer's gstep exactly
-            # (both advance once per emitted batch)
+            # (both advance once per emitted batch). Mid-epoch resume starts
+            # the loader AT the skip point — the consumed prefix is neither
+            # decoded nor collated (HostLoader.iter_from).
             g = g0
-            for bi, batch in enumerate(loader):
-                if bi < skip:  # mid-epoch resume: already-consumed batches
-                    continue
+            for batch in loader.iter_from(skip):
                 yield _upload(batch, g)
                 g += 1
 

@@ -91,6 +91,34 @@ def test_host_loader_deterministic_order():
         np.testing.assert_array_equal(x, y)
 
 
+def test_host_loader_iter_from_skips_without_decoding():
+    """Mid-epoch resume path: iter_from(k) yields exactly the batches a full
+    epoch yields from index k on, and the skipped prefix is never decoded
+    (dataset access counted) — re-decoding consumed batches cost ~5 min per
+    preemption resume at 100k-image scale."""
+
+    class CountingDS(SyntheticChannels):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.gets = []
+
+        def __getitem__(self, i):
+            self.gets.append(int(i))
+            return super().__getitem__(i)
+
+    ds = CountingDS(n=40, img_size=8, max_channels=4)
+    ld = HostLoader(ds, batch_size=8, max_channels=4, num_workers=2, seed=7,
+                    channels_last=True)
+    full = [b["labels"] for b in ld]
+    ld.set_epoch(0)  # same epoch again -> identical batch order
+    ds.gets.clear()
+    tail = [b["labels"] for b in ld.iter_from(3)]
+    assert len(tail) == len(full) - 3
+    for x, y in zip(full[3:], tail):
+        np.testing.assert_array_equal(x, y)
+    assert len(set(ds.gets)) == len(ds.gets) == 2 * 8  # only the 2 tail batches
+
+
 def test_host_loader_early_abandon_releases_workers():
     """A consumer that stops mid-epoch (max_steps truncation, preemption) must
     not leave worker threads parked forever on a full prefetch queue."""
