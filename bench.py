@@ -18,7 +18,7 @@ its device-trace pass, so a harness timeout during the optional later phases
 (disk-decode, B/16) can never lose the round's record; when those phases run,
 an enriched line with their fields is printed last (consumers should take the
 LAST parseable line). The later phases are skipped when the remaining wall
-budget (``CHADAVIT_BENCH_BUDGET_S``, default 600 s) is too low to finish them.
+budget (``CHADAVIT_BENCH_BUDGET_S``, default 540 s) is too low to finish them.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); the A100
 reference figure is the analytic estimate recorded in BASELINE.md
@@ -81,7 +81,12 @@ def model_flops_per_image(c: int, depth=12, d=192, f=2048, n=196, p=16) -> float
 
 def main():
     t_start = time.time()
-    budget_s = float(os.environ.get("CHADAVIT_BENCH_BUDGET_S", 600))
+    # default 540 s: the round-3 driver invocation was killed at rc=124 by an
+    # external ~600 s timeout, so leave a full phase's headroom below it —
+    # phase-need estimates are measured under tunnel contention and can
+    # undershoot, and a skipped optional phase costs a field while an
+    # external SIGKILL can cost the whole parsed record
+    budget_s = float(os.environ.get("CHADAVIT_BENCH_BUDGET_S", 540))
 
     def remaining_s() -> float:
         return budget_s - (time.time() - t_start)
