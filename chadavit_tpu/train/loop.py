@@ -306,9 +306,13 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
             # TRAIN split (cached-list semantics, datasets.py sample_ratio):
             # at 100k-image scale a full-bank extraction re-decodes every
             # plane per eval (~minutes on few-core hosts) for no measurable
-            # accuracy gain over a 10-20% bank
+            # accuracy gain over a 10-20% bank. Unset, it inherits
+            # data.sample_ratio — in the reference the online-kNN bank is fed
+            # by the same (already subsampled) train dataset object, so a
+            # subsampled pretrain must not silently extract the full split.
             sample_ratio=float(cfg.get("knn_eval", {}).get(
-                "train_sample_ratio", 1.0) or 1.0),
+                "train_sample_ratio",
+                cfg.data.get("sample_ratio", 1.0)) or 1.0),
         )
 
     ssl_val = None
