@@ -205,14 +205,58 @@ def main():
                            "rng": warm_keys[w]}).compile()
         print(f"width={w} compiled", file=sys.stderr, flush=True)
 
-    if os.environ.get("CHADAVIT_BENCH_PAR_COMPILE", "1") != "0":
-        from concurrent.futures import ThreadPoolExecutor
+    # Budget-aware warmup: after a backend-fingerprint change (tunnel
+    # reconnect) EVERY width is a true recompile (30s-10min each under
+    # contention), and a warmup that insists on all 10 can eat the whole
+    # window with nothing printed AND nothing cached (killed mid-compile =
+    # not persisted; measured in round 4: 4-way-parallel cold warmup landed
+    # zero programs in 600 s). So: submit heaviest-first on a small pool
+    # (2-way — wide pools starve the tunnel so no compile EVER finishes),
+    # harvest until the remaining budget is only enough to time what we
+    # have, and time that subset. Heaviest-first means a degraded record
+    # UNDERSTATES throughput, never inflates it.
+    order = sorted(uniq, reverse=True)
+    workers = int(os.environ.get("CHADAVIT_BENCH_COMPILE_WORKERS", 2))
+    RESERVE_S = 90.0  # settle + >=2 timed repeats + canonical print
+    if workers > 1:
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+        from concurrent.futures import wait as futures_wait
 
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            list(ex.map(_warm, uniq))
+        ex = ThreadPoolExecutor(max_workers=workers)
+        futs = {w: ex.submit(_warm, w) for w in order}
+        pending = set(futs.values())
+        while pending:
+            have_one = any(f.done() and not f.exception() for f in futs.values())
+            wait_s = remaining_s() - RESERVE_S
+            if have_one and wait_s <= 0:
+                break
+            # nothing compiled yet: block without bound — landing even one
+            # program in the persistent cache is progress the next run keeps
+            done, pending = futures_wait(
+                pending, timeout=(wait_s if have_one else None),
+                return_when=FIRST_COMPLETED)
+            if not done:
+                break
+        for f in futs.values():
+            f.cancel()
+        ex.shutdown(wait=False)
+        compiled = [w for w, f in futs.items()
+                    if f.done() and not f.cancelled() and not f.exception()]
     else:
-        for w in uniq:
+        compiled = []
+        for w in order:
+            if compiled and remaining_s() - RESERVE_S <= 0:
+                break
             _warm(w)
+            compiled.append(w)
+    if not compiled:
+        print("no width compiled within budget", file=sys.stderr)
+        return 4
+    degraded = len(compiled) < len(uniq)
+    if degraded:
+        print(f"warmup budget-truncated: timing widths {sorted(compiled)} "
+              f"of {sorted(uniq)}", file=sys.stderr, flush=True)
+    uniq = {w: uniq[w] for w in compiled}
     # settle: one executed step per width primes the jit wrapper's in-memory
     # cache (compiles are persistent-cache hits now) and warms allocators
     for w, b in uniq.items():
@@ -220,7 +264,9 @@ def main():
         _ = float(m["dino_loss"])
     print(f"warmup done at t={time.time() - t_start:.0f}s", file=sys.stderr, flush=True)
 
-    timed = batches[:STEPS]
+    timed = [b for b in batches[:STEPS] if b["images"].shape[1] in uniq]
+    if not timed:  # compiled widths all landed past STEPS — time those batches
+        timed = [uniq[w] for w in sorted(uniq, reverse=True)]
     n_img = sum(len(b["labels"]) for b in timed)
     flops = sum(model_flops_per_image(int(c))
                 for b in timed for c in b["channel_counts"])
@@ -294,6 +340,10 @@ def main():
         "timed_steps": len(timed),
         "pipeline": "uint8 host->device + on-device 2-view asymmetric augment + train step",
     }
+    if degraded:
+        # budget-truncated warmup: only these channel widths were timed
+        # (heaviest-first, so the blended img/s UNDERSTATES the full 1-10 mix)
+        out["widths_timed"] = sorted(uniq)
     print(json.dumps(out), flush=True)
 
     dev_img_s = None
@@ -492,4 +542,10 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main() or 0
+    # hard exit: abandoned AOT-compile worker threads are non-daemon and can
+    # sit in a minutes-long remote-compile RPC; a normal exit would join them
+    # past the harness timeout and turn an already-printed record into rc=124
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
