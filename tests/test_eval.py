@@ -98,6 +98,7 @@ def test_metrics_vs_sklearn(rng):
     np.testing.assert_allclose(reg["r2"], r2_score(targets_r, preds_r), rtol=1e-9)
 
 
+@pytest.mark.slow  # 39 s: multi-epoch CPU probe training — learning-dynamics tier
 def test_linear_probe_learns():
     """Frozen random ChAdaViT features + linear head on labels derived from the
     features themselves -> train accuracy must climb well above chance."""

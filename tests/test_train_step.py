@@ -242,6 +242,7 @@ def test_tp_shards_params_and_optimizer_state():
     assert o_tp < 0.75 * o_dp, (o_tp, o_dp)
 
 
+@pytest.mark.slow  # 115 s: multi-step CPU training — learning-dynamics tier
 def test_online_classifier_learns_and_leaves_dino_unchanged():
     """Labeled non-mixed pretrain: the online classifier (detached feats, own
     param group — reference base.py:233,561-563) climbs above chance, while
