@@ -125,6 +125,7 @@ def prepare_data(
     seed: int = 0,
     native_loader: bool = False,
     bucket_by_channels: bool = True,
+    bucket_round: int = 1,
     **dataset_kwargs,
 ) -> Tuple[HostLoader, Optional[HostLoader]]:
     """Build (train_loader, val_loader) (reference
@@ -143,7 +144,15 @@ def prepare_data(
     order. Per-batch (feature, target) pairs stay aligned; callers that need to
     map concatenated outputs back to dataset order should construct the loader
     with ``emit_index=True`` (adds an ``"index"`` key per batch) or pass
-    ``bucket_by_channels=False``."""
+    ``bucket_by_channels=False``.
+
+    ``bucket_round`` rounds each bucket's padded width up to a multiple
+    (default 1: exact widths — zero padded-channel FLOPs, one compiled
+    feature program per distinct width). On cold-compile-cache hosts where
+    each remote program build costs minutes, ``bucket_round=max_channels``
+    trades padded FLOPs for a SINGLE program: padded channels are masked out
+    analytically (``models/chada_vit.py``), so features are unchanged
+    (``tests/test_parity_chada.py::test_bucketed_dense_width_equals_padded``)."""
     if native_loader and val_transform_for_train:
         from chadavit_tpu.data import native
 
@@ -184,7 +193,7 @@ def prepare_data(
     # SHUFFLED probe-training loader keeps full random mixing — bucketing
     # would make every gradient minibatch channel-homogeneous, a silent
     # training-dynamics change when channel count correlates with class.
-    bk = dict(bucket_by_channels=bucket_by_channels, bucket_round=1)
+    bk = dict(bucket_by_channels=bucket_by_channels, bucket_round=bucket_round)
     bk_train = bk if val_transform_for_train else dict(bucket_by_channels=False)
     train_loader = HostLoader(train_ds, batch_size=batch_size, max_channels=max_channels,
                               num_workers=num_workers, seed=seed,

@@ -37,6 +37,7 @@ def main(argv=None):
         sample_ratio=cfg.data.get("sample_ratio", 1.0),
         val_transform_for_train=True,  # val transform for BOTH splits
         native_loader=cfg.get("native_loader", False),
+        bucket_round=int(cfg.data.get("bucket_round", 1)),
     )
 
     feature_fn = make_feature_fn(

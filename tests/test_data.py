@@ -206,6 +206,44 @@ def test_sample_ratio_cached_subset(tmp_path):
     assert len(tr.dataset) == 4 and len(va.dataset) == 10
 
 
+def test_prepare_data_bucket_round_pads_eval_widths(tmp_path):
+    """``prepare_data(bucket_round=r)`` rounds eval bucket widths up to a
+    multiple of ``r`` — ``r == max_channels`` collapses a mixed-channel eval
+    to ONE compiled feature program (padded channels are analytically masked,
+    so features are unchanged; see test_bucketed_dense_width_equals_padded)."""
+    import csv as csvmod
+
+    from PIL import Image
+
+    rows = []
+    for i in range(12):
+        w = 1 + i % 3  # channel widths 1..3
+        paths = []
+        for c in range(w):
+            p = f"img{i}_c{c}.png"
+            Image.fromarray((np.ones((8, 8)) * i).astype(np.uint8)).save(tmp_path / p)
+            paths.append(p)
+        rows.append([f"id{i}", i % 2, str(paths)])
+    for split in ("train.csv", "test.csv"):
+        with open(tmp_path / split, "w", newline="") as f:
+            csvmod.writer(f).writerows(rows)
+
+    from chadavit_tpu.data.classification import prepare_data
+
+    common = dict(train_path=str(tmp_path), val_path=str(tmp_path),
+                  batch_size=4, max_channels=3, num_workers=1, crop_size=8,
+                  val_transform_for_train=True, native_loader=False)
+    tr, va = prepare_data("bbbc048", **common)  # default bucket_round=1
+    assert sorted({b["images"].shape[1] for b in tr}) == [1, 2, 3]
+    tr3, va3 = prepare_data("bbbc048", bucket_round=3, **common)
+    for loader in (tr3, va3):
+        batches = list(loader)
+        assert {b["images"].shape[1] for b in batches} == {3}
+        # true channel counts survive for the analytic masks
+        assert sorted({int(c) for b in batches
+                       for c in b["channel_counts"]}) == [1, 2, 3]
+
+
 def test_committed_idr100k_splits_parse(tmp_path):
     """The committed reference-format split CSVs (counterpart to the
     reference's src/data/splits/*) load through the manifest engine: labeled
