@@ -27,6 +27,7 @@ from chadavit_tpu.parallel.mesh import make_mesh
 from chadavit_tpu.train.pretrain import DinoPretrainSpec, build_dino
 from chadavit_tpu.utils.checkpoint import AutoResumer, Checkpointer, restore_pytree
 from chadavit_tpu.utils.logging import MetricLogger
+from chadavit_tpu.utils.misc import seed_everything
 from chadavit_tpu.utils.profiling import StepTimer
 
 
@@ -187,6 +188,11 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     """Full DINO pretraining (the ``main_pretrain.py`` engine). Returns final
     metrics. ``max_steps`` truncates for smoke tests."""
     seed = cfg.get("seed") or 5
+    # seed host RNGs BEFORE dataset construction (reference main_pretrain.py:80
+    # seed_everything) — the sample_ratio subset draw (datasets.py) uses the
+    # global `random`, so without this a fresh run (no cached list) draws a
+    # nondeterministic low-data subset
+    seed_everything(seed)
     loader = build_pretrain_loader(cfg, seed=seed)
     steps_per_epoch = max(len(loader), 1)
     spec = spec_from_cfg(cfg, steps_per_epoch)

@@ -20,6 +20,7 @@ from chadavit_tpu.train.schedules import PlateauScale
 from chadavit_tpu.eval.probe import ProbeStepConfig, make_probe_eval_step, make_probe_train_step
 from chadavit_tpu.train.optim import build_group_tx, grouped_optimizer
 from chadavit_tpu.train.state import ProbeState
+from chadavit_tpu.utils.misc import seed_everything
 from chadavit_tpu.utils.logging import MetricLogger
 
 
@@ -91,6 +92,9 @@ def build_probe(cfg, model, params, steps_per_epoch, task="classification"):
 
 
 def run_probe(cfg, task="classification"):
+    # reference main_linear.py:73 seed_everything(cfg.seed): host RNGs must be
+    # seeded before dataset construction (sample_ratio subset draw)
+    seed_everything(cfg.get("seed") or 5)
     model, params = load_backbone_for_eval(cfg)
     bk = cfg.backbone.get("kwargs", {})
     img_channels = cfg.data.get("img_channels", dataset_img_channels(cfg.data.dataset))

@@ -206,6 +206,44 @@ def test_sample_ratio_cached_subset(tmp_path):
     assert len(tr.dataset) == 4 and len(va.dataset) == 10
 
 
+def test_sample_ratio_subset_is_seed_deterministic(tmp_path):
+    """The subset draw uses the global ``random`` (reference semantics), so a
+    fresh dataset root after ``seed_everything(seed)`` — which every entry
+    point calls before dataset construction (reference main_pretrain.py:80,
+    main_knn.py:164) — must pick the SAME ids regardless of prior RNG state;
+    a different seed must be allowed to pick a different subset."""
+    import csv as csvmod
+    import random
+
+    from PIL import Image
+
+    from chadavit_tpu.utils.misc import seed_everything
+
+    def fresh_root(name):
+        root = tmp_path / name
+        root.mkdir()
+        for i in range(40):
+            Image.fromarray((np.ones((8, 8)) * i).astype(np.uint8)).save(
+                root / f"img{i}_c0.png")
+        with open(root / "train.csv", "w", newline="") as f:
+            csvmod.writer(f).writerows(
+                [[f"id{i}", i % 2, str([f"img{i}_c0.png"])] for i in range(40)])
+        return root
+
+    def subset(root, seed):
+        random.random()  # scramble global state; seeding must erase this
+        seed_everything(seed)
+        ds = prepare_datasets("bbbc048", train_path=str(root), train=True,
+                              sample_ratio=0.25)
+        return [r[0] for r in ds.file_list]
+
+    a = subset(fresh_root("a"), 5)
+    b = subset(fresh_root("b"), 5)
+    assert a == b  # same seed, fresh roots -> identical subset
+    c = subset(fresh_root("c"), 6)
+    assert set(c) != set(a)  # 1/C(40,10) collision odds: a different draw
+
+
 def test_prepare_data_bucket_round_pads_eval_widths(tmp_path):
     """``prepare_data(bucket_round=r)`` rounds eval bucket widths up to a
     multiple of ``r`` — ``r == max_channels`` collapses a mixed-channel eval
