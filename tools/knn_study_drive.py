@@ -1,4 +1,4 @@
-import sys, time
+import glob, os, sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np
 from chadavit_tpu.cli import load_cfg, load_backbone_for_eval
@@ -15,6 +15,15 @@ cfg = parse_knn_cfg(load_cfg([
     "--config-name", "dino_idr10k_study.yaml",
     *sys.argv[1:]]))
 log("cfg parsed")
+# run ids are random per regeneration: when the configured checkpoint path is
+# gone (/tmp recycled), fall back to the NEWEST epoch checkpoint under the
+# study checkpoint root so the drive works right after a regen run
+if not os.path.exists(cfg.get("pretrained_feature_extractor") or ""):
+    cands = sorted(glob.glob("/tmp/chadavit_idr10k_ckpt/dino/*/*ep=*"),
+                   key=os.path.getmtime)
+    if cands:
+        log(f"configured ckpt missing; using newest: {cands[-1]}")
+        cfg.pretrained_feature_extractor = cands[-1]
 model, params = load_backbone_for_eval(cfg)
 log("backbone loaded")
 img_channels = cfg.data.get("img_channels", dataset_img_channels(cfg.data.dataset))
