@@ -93,6 +93,15 @@ def main():
 
     import jax
 
+    # honor an explicit CPU request (testing the harness logic off-TPU): the
+    # axon platform plugin overrides the JAX_PLATFORMS env var, so route the
+    # request through the config API like __graft_entry__.dryrun_multichip
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     # persistent compilation cache: repeated bench runs skip the (minutes-long)
     # remote TPU compiles
     from chadavit_tpu.cli import enable_compile_cache
@@ -192,6 +201,7 @@ def main():
     uniq = {}
     for b in batches:
         uniq.setdefault(b["images"].shape[1], b)
+    uniq_all = dict(uniq)  # exact-width exemplars (cold mode overwrites uniq)
     warm_keys = dict(zip(uniq, jax.random.split(aug_rng, len(uniq) + 1)[1:]))
 
     def _warm(w):
@@ -199,26 +209,57 @@ def main():
         # buffers stay live across concurrent warmups; results land in the
         # persistent cache, which the settle pass below then hits
         print(f"compiling width={w}...", file=sys.stderr, flush=True)
-        b = uniq[w]
+        b = uniq_all[w]
         step.lower(state, {"images": jnp.asarray(b["images"]),
                            "channel_counts": jnp.asarray(b["channel_counts"]),
                            "rng": warm_keys[w]}).compile()
         print(f"width={w} compiled", file=sys.stderr, flush=True)
 
-    # Budget-aware warmup: after a backend-fingerprint change (tunnel
-    # reconnect) EVERY width is a true recompile (30s-10min each under
-    # contention), and a warmup that insists on all 10 can eat the whole
-    # window with nothing printed AND nothing cached (killed mid-compile =
-    # not persisted; measured in round 4: 4-way-parallel cold warmup landed
-    # zero programs in 600 s). So: submit heaviest-first on a small pool
-    # (2-way — wide pools starve the tunnel so no compile EVER finishes),
-    # harvest until the remaining budget is only enough to time what we
-    # have, and time that subset. Heaviest-first means a degraded record
-    # UNDERSTATES throughput, never inflates it.
-    order = sorted(uniq, reverse=True)
+    # Cold-cache probe: compile the heaviest width FIRST and time it. Width
+    # max_channels is both the top exact-width program AND the single
+    # bucket_round=max program (padded channels are analytically masked, so
+    # a batch of true width w run through the width-10 program computes the
+    # same step — tests/test_parity_chada.py::test_bucketed_dense_width_...).
+    # If that one compile is slow, the cache is cold (tunnel-reconnect
+    # fingerprint change): every further width would be an equally slow true
+    # recompile, and round 4 measured the 10-width cold warmup eating 341 s
+    # of the 540 s budget and dropping the disk/B16 fields. Cold mode
+    # instead PADS every batch to the max width host-side and times the ONE
+    # compiled program, so the full record (core + trace + disk) fits the
+    # budget; warm mode keeps the exact-width blend (zero padded FLOPs).
+    w_max = max(uniq)
+    t_probe = time.time()
+    _warm(w_max)
+    probe_s = time.time() - t_probe
+    cold = probe_s > float(os.environ.get("CHADAVIT_BENCH_COLD_S", 60))
+    bucket_round_used = 1
+    if cold:
+        print(f"cold compile cache (width-{w_max} compile took {probe_s:.0f}s):"
+              f" falling back to bucket_round={w_max} single-program mode",
+              file=sys.stderr, flush=True)
+        bucket_round_used = w_max
+
+        def _pad_to_max(b):
+            img = b["images"]
+            pad = w_max - img.shape[1]
+            if pad:
+                img = np.pad(img, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            return {**b, "images": img}
+
+        batches = [_pad_to_max(b) for b in batches]
+        uniq = {w_max: batches[0]}
+        compiled = [w_max]
+    # Budget-aware warm warmup: submit the remaining widths heaviest-first on
+    # a small pool (2-way — wide pools starve the tunnel so no compile EVER
+    # finishes), harvest until the remaining budget is only enough to time
+    # what we have, and time that subset. Heaviest-first means a degraded
+    # record UNDERSTATES throughput, never inflates it.
+    order = [w for w in sorted(uniq, reverse=True) if w != w_max]
     workers = int(os.environ.get("CHADAVIT_BENCH_COMPILE_WORKERS", 2))
     RESERVE_S = 90.0  # settle + >=2 timed repeats + canonical print
-    if workers > 1:
+    if cold:
+        pass  # single program already compiled; no further width compiles
+    elif workers > 1:
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
         from concurrent.futures import wait as futures_wait
 
@@ -240,18 +281,15 @@ def main():
         for f in futs.values():
             f.cancel()
         ex.shutdown(wait=False)
-        compiled = [w for w, f in futs.items()
-                    if f.done() and not f.cancelled() and not f.exception()]
+        compiled = [w_max] + [w for w, f in futs.items()
+                              if f.done() and not f.cancelled() and not f.exception()]
     else:
-        compiled = []
+        compiled = [w_max]
         for w in order:
-            if compiled and remaining_s() - RESERVE_S <= 0:
+            if remaining_s() - RESERVE_S <= 0:
                 break
             _warm(w)
             compiled.append(w)
-    if not compiled:
-        print("no width compiled within budget", file=sys.stderr)
-        return 4
     degraded = len(compiled) < len(uniq)
     if degraded:
         print(f"warmup budget-truncated: timing widths {sorted(compiled)} "
@@ -338,12 +376,17 @@ def main():
         "mfu": round(mfu, 4),
         "batch": BATCH,
         "timed_steps": len(timed),
+        # program widths actually timed. Warm: every exact channel width
+        # (1-10) unless budget-truncated (then heaviest-first, so the blend
+        # UNDERSTATES the full mix). Cold: [max] — every batch padded to one
+        # bucket_round=max program; true channel mix unchanged, padded
+        # channels analytically masked, device does extra (masked) FLOPs so
+        # this too UNDERSTATES the warm exact-width number.
+        "widths_timed": sorted(uniq),
+        "bucket_round": bucket_round_used,
+        "cold_cache": cold,
         "pipeline": "uint8 host->device + on-device 2-view asymmetric augment + train step",
     }
-    if degraded:
-        # budget-truncated warmup: only these channel widths were timed
-        # (heaviest-first, so the blended img/s UNDERSTATES the full 1-10 mix)
-        out["widths_timed"] = sorted(uniq)
     print(json.dumps(out), flush=True)
 
     dev_img_s = None
@@ -367,6 +410,11 @@ def main():
         out["device_img_s_per_chip"] = round(dev_img_s / n_chips, 2)
         out["device_mfu"] = round(flops / (n_img / dev_img_s) / n_chips
                                   / V5E_PEAK_FLOPS, 4)
+        # device/wall gap, so a reader of this record alone can tell external
+        # tunnel contention (large factor, ~2-3x on contended days; ~1.6x
+        # uncontended) from a real device-side regression — see BASELINE.md
+        # "wall_overhead_factor"
+        out["wall_overhead_factor"] = round((dev_img_s / n_chips) / img_s_chip, 3)
         print(json.dumps(out), flush=True)
 
     # ---- disk-decode phase: identical step, batches decoded from on-disk
@@ -375,6 +423,8 @@ def main():
     # Cost estimate: ~90 s generation (skipped when the persisted dataset is
     # present) + host pass + 3 timed epochs + cached epoch ≈ 150-250 s.
     disk_wall_img_s = disk_planes_s = disk_cached_img_s = None
+    # cold mode reuses the single already-compiled bucket_round=max program
+    # (no new compiles), so the phase needs only the host pass + timed epochs
     disk_budget_need = 150 if os.path.exists(os.path.join(DISK_ROOT, ".complete")) else 250
     run_disk = DISK
     if run_disk and remaining_s() < disk_budget_need:
@@ -412,7 +462,8 @@ def main():
             batch_fn = native.make_dense_batch_fn(disk_ds, 224, num_threads=2)
             disk_loader = HostLoader(disk_ds, batch_size=BATCH, max_channels=10,
                                      num_workers=2, seed=0, bucket_by_channels=True,
-                                     bucket_round=1, native_batch_fn=batch_fn)
+                                     bucket_round=bucket_round_used,
+                                     native_batch_fn=batch_fn)
             # host-only rate first (also warms the page cache)
             t0 = time.time()
             n_planes = sum(int(b["channel_counts"].sum()) for b in disk_loader)
@@ -459,9 +510,11 @@ def main():
     b16_dev_img_s = b16_mfu = b16_wall_img_s = None
     do_b16 = B16
     # B/16 cost: build + 2 settle steps + timed steps + trace pass; compiles
-    # are cache-warm after the first-ever run but still ~60-120 s cold
-    if do_b16 and remaining_s() < 150:
-        print(f"b16 phase skipped: {remaining_s():.0f}s left < 150s needed",
+    # are cache-warm after the first-ever run but a COLD cache makes this a
+    # fresh multi-minute compile — require the larger headroom then
+    b16_need = 300 if cold else 150
+    if do_b16 and remaining_s() < b16_need:
+        print(f"b16 phase skipped: {remaining_s():.0f}s left < {b16_need}s needed",
               file=sys.stderr)
         do_b16 = False
     if do_b16:
@@ -539,6 +592,21 @@ def main():
             out["b16_device_mfu"] = round(b16_mfu / n_chips, 4)
     if extra:
         print(json.dumps(out), flush=True)
+
+    # cold-mode tail: the record is complete — invest any leftover budget in
+    # serially compiling the exact-width programs into the persistent cache so
+    # the NEXT run (same fingerprint) takes the warm exact-width path. Serial,
+    # checked before each compile: only COMPLETED compiles persist (os._exit
+    # below abandons in-flight RPCs without caching them).
+    if cold:
+        for w in sorted(set(uniq_all) - {w_max}, reverse=True):
+            if remaining_s() < max(probe_s * 1.2, 70):
+                break
+            try:
+                _warm(w)
+            except Exception as e:  # pragma: no cover
+                print(f"cache-seed width {w} failed: {e}", file=sys.stderr)
+                break
 
 
 if __name__ == "__main__":

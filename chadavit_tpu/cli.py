@@ -142,6 +142,21 @@ def load_backbone_for_eval(cfg: Config):
                 if isinstance(tree, dict) and key in tree:
                     tree = tree[key]
             params = tree if isinstance(tree, dict) else init["params"]
+        elif ckpt.endswith(".npz"):
+            # compact backbone-params export (tools/export_study_ckpt.py):
+            # flattened "a/b/c" keys -> nested params tree. Used to pin study
+            # checkpoints durably in the repo (a full orbax train state is
+            # ~186 MB; the backbone alone round-trips at ~12 MB)
+            import numpy as np
+
+            params = {}
+            with np.load(ckpt) as z:
+                for flat_key in z.files:
+                    node = params
+                    *parents, leaf = flat_key.split("/")
+                    for p in parents:
+                        node = node.setdefault(p, {})
+                    node[leaf] = jnp.asarray(z[flat_key])
         else:
             from chadavit_tpu.models.import_torch import import_backbone_checkpoint
 

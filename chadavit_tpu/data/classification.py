@@ -119,6 +119,7 @@ def prepare_data(
     num_workers: int = 4,
     crop_size: int = 224,
     sample_ratio: float = 1.0,
+    subset_seed=None,
     augment_train: bool = True,
     auto_augment: bool = False,
     val_transform_for_train: bool = False,
@@ -164,7 +165,7 @@ def prepare_data(
             nk = dict(resize_mode=mode, resize_size=resize, normalize=True)
             train_ds = prepare_datasets(dataset, transform=None, train_path=train_path,
                                         train=True, sample_ratio=sample_ratio,
-                                        **dataset_kwargs)
+                                        subset_seed=subset_seed, **dataset_kwargs)
             tl = native.NativeEvalLoader(train_ds, batch_size=batch_size,
                                          max_channels=max_channels,
                                          height=crop_size, width=crop_size, **nk)
@@ -186,7 +187,7 @@ def prepare_data(
     synth = dict(img_size=crop_size, max_channels=max_channels) if dataset == "synthetic" else {}
     train_ds = prepare_datasets(dataset, transform=t_train, train_path=train_path,
                                 train=True, sample_ratio=sample_ratio,
-                                **synth, **dataset_kwargs)
+                                subset_seed=subset_seed, **synth, **dataset_kwargs)
     # exact-width channel buckets: mixed-channel eval batches pad only to the
     # batch's true count instead of max_channels (features/targets stay paired;
     # fixed-channel datasets see a single bucket and are unaffected). The

@@ -118,6 +118,7 @@ class CsvManifestDataset:
         shuffle: bool = False,
         sample_ratio: float = 1.0,
         raw: bool = False,
+        subset_seed: Optional[int] = None,
     ):
         self.root_dir = root_dir
         self.train = train
@@ -139,7 +140,12 @@ class CsvManifestDataset:
                 self.file_list = [r for r in self.file_list if str(r[0]) in keep]
             else:
                 k = int(len(self.file_list) * sample_ratio)
-                self.file_list = random.sample(self.file_list, k)
+                # draw from a LOCAL RNG when the caller passes its seed, so the
+                # subset is provably identical to tools/regen_idr10k_subset.py's
+                # canonical random.Random(seed) draw regardless of what else
+                # consumed the global RNG before dataset construction
+                rng = random if subset_seed is None else random.Random(subset_seed)
+                self.file_list = rng.sample(self.file_list, k)
                 try:
                     with open(cache, "w") as f:
                         f.writelines(f"{r[0]}\n" for r in self.file_list)
@@ -306,7 +312,8 @@ class ImageFolderDataset:
 
     def __init__(self, root_dir: str, train: bool = True,
                  transform: Optional[Callable] = None, shuffle: bool = False,
-                 sample_ratio: float = 1.0, split_dirs=("train", "val")):
+                 sample_ratio: float = 1.0, split_dirs=("train", "val"),
+                 subset_seed: Optional[int] = None):
         split = split_dirs[0] if train else split_dirs[1]
         base = os.path.join(root_dir, split)
         if not os.path.isdir(base):
@@ -321,7 +328,8 @@ class ImageFolderDataset:
                 if os.path.splitext(f)[1].lower() in (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".npy"):
                     self.samples.append((os.path.join(cdir, f), self.class_to_idx[c]))
         if train and sample_ratio < 1.0:
-            self.samples = random.sample(self.samples, int(len(self.samples) * sample_ratio))
+            rng = random if subset_seed is None else random.Random(subset_seed)
+            self.samples = rng.sample(self.samples, int(len(self.samples) * sample_ratio))
         if shuffle:
             random.shuffle(self.samples)
         self.transform = transform
@@ -496,8 +504,13 @@ def dataset_with_index(dataset_class):
 
 def prepare_datasets(dataset: str, transform: Optional[Callable] = None,
                      train_path: Optional[str] = None, with_index: bool = False,
-                     train: bool = True, sample_ratio: float = 1.0, **kwargs):
-    """Dataset dispatch (reference ``pretrain_dataloader.py:403-498``)."""
+                     train: bool = True, sample_ratio: float = 1.0,
+                     subset_seed: Optional[int] = None, **kwargs):
+    """Dataset dispatch (reference ``pretrain_dataloader.py:403-498``).
+
+    ``subset_seed``: seed for the low-data ``sample_ratio`` subset draw
+    (local RNG, independent of global-RNG history); None keeps the legacy
+    global-``random`` draw."""
     cls = DATASETS[dataset]
     if dataset in ("synthetic", "synthetic_structured"):
         if dataset == "synthetic_structured":
@@ -505,5 +518,5 @@ def prepare_datasets(dataset: str, transform: Optional[Callable] = None,
         ds = cls(transform=transform, **kwargs)
     else:
         ds = cls(root_dir=train_path, train=train, transform=transform,
-                 sample_ratio=sample_ratio, **kwargs)
+                 sample_ratio=sample_ratio, subset_seed=subset_seed, **kwargs)
     return DatasetWithIndex(ds) if with_index else ds

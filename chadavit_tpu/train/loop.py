@@ -27,7 +27,7 @@ from chadavit_tpu.parallel.mesh import make_mesh
 from chadavit_tpu.train.pretrain import DinoPretrainSpec, build_dino
 from chadavit_tpu.utils.checkpoint import AutoResumer, Checkpointer, restore_pytree
 from chadavit_tpu.utils.logging import MetricLogger
-from chadavit_tpu.utils.misc import seed_everything
+from chadavit_tpu.utils.misc import resolve_seed, seed_everything
 from chadavit_tpu.utils.profiling import StepTimer
 
 
@@ -132,6 +132,10 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
         train_path=cfg.data.get("train_path"),
         train=True,
         sample_ratio=cfg.data.get("sample_ratio", 1.0),
+        # local-RNG subset draw: provably the same subset as the canonical
+        # random.Random(seed) cache regardless of prior global-RNG consumption
+        # (e.g. the host-augmentation pipeline construction above)
+        subset_seed=seed,
         **ds_kwargs,
     )
     max_channels = (cfg.backbone.get("kwargs", {}).get("max_number_channels")
@@ -187,7 +191,7 @@ def build_pretrain_loader(cfg: Config, seed: int = 0) -> HostLoader:
 def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     """Full DINO pretraining (the ``main_pretrain.py`` engine). Returns final
     metrics. ``max_steps`` truncates for smoke tests."""
-    seed = cfg.get("seed") or 5
+    seed = resolve_seed(cfg)
     # seed host RNGs BEFORE dataset construction (reference main_pretrain.py:80
     # seed_everything) — the sample_ratio subset draw (datasets.py) uses the
     # global `random`, so without this a fresh run (no cached list) draws a
@@ -319,6 +323,7 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
             sample_ratio=float(cfg.get("knn_eval", {}).get(
                 "train_sample_ratio",
                 cfg.data.get("sample_ratio", 1.0)) or 1.0),
+            subset_seed=resolve_seed(cfg),
         )
 
     ssl_val = None

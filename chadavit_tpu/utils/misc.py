@@ -61,6 +61,15 @@ def seed_everything(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
+def resolve_seed(cfg, default: int = 5) -> int:
+    """Config seed with an explicit None check so ``seed: 0`` is honored
+    (reference ``seed_everything(cfg.seed)`` respects 0; ``or 5`` would not).
+    The reference leaves seed None → lightning randomizes; we default to 5
+    (the value every shipped config uses) to stay deterministic."""
+    seed = cfg.get("seed")
+    return default if seed is None else int(seed)
+
+
 def param_count(tree) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree) if hasattr(x, "shape"))
 

@@ -16,14 +16,14 @@ from chadavit_tpu.config import parse_knn_cfg
 from chadavit_tpu.data.classification import dataset_img_channels, prepare_data
 from chadavit_tpu.eval.features import extract_features, make_feature_fn
 from chadavit_tpu.eval.knn import knn_classify
-from chadavit_tpu.utils.misc import seed_everything
+from chadavit_tpu.utils.misc import resolve_seed, seed_everything
 
 
 def main(argv=None):
     cfg = parse_knn_cfg(load_cfg(argv, description=__doc__))
     # reference main_knn.py:164 seed_everything_manual(cfg.seed): host RNGs
     # must be seeded before dataset construction (sample_ratio subset draw)
-    seed_everything(cfg.get("seed") or 5)
+    seed_everything(resolve_seed(cfg))
     model, params = load_backbone_for_eval(cfg)
 
     img_channels = cfg.data.get("img_channels", dataset_img_channels(cfg.data.dataset))
@@ -39,6 +39,7 @@ def main(argv=None):
         num_workers=cfg.data.get("num_workers", 4),
         crop_size=cfg.data.get("augmentations", {}).get("crop_size", 224),
         sample_ratio=cfg.data.get("sample_ratio", 1.0),
+        subset_seed=resolve_seed(cfg),
         val_transform_for_train=True,  # val transform for BOTH splits
         native_loader=cfg.get("native_loader", False),
         bucket_round=int(cfg.data.get("bucket_round", 1)),

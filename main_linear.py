@@ -20,7 +20,7 @@ from chadavit_tpu.train.schedules import PlateauScale
 from chadavit_tpu.eval.probe import ProbeStepConfig, make_probe_eval_step, make_probe_train_step
 from chadavit_tpu.train.optim import build_group_tx, grouped_optimizer
 from chadavit_tpu.train.state import ProbeState
-from chadavit_tpu.utils.misc import seed_everything
+from chadavit_tpu.utils.misc import resolve_seed, seed_everything
 from chadavit_tpu.utils.logging import MetricLogger
 
 
@@ -94,7 +94,7 @@ def build_probe(cfg, model, params, steps_per_epoch, task="classification"):
 def run_probe(cfg, task="classification"):
     # reference main_linear.py:73 seed_everything(cfg.seed): host RNGs must be
     # seeded before dataset construction (sample_ratio subset draw)
-    seed_everything(cfg.get("seed") or 5)
+    seed_everything(resolve_seed(cfg))
     model, params = load_backbone_for_eval(cfg)
     bk = cfg.backbone.get("kwargs", {})
     img_channels = cfg.data.get("img_channels", dataset_img_channels(cfg.data.dataset))
@@ -109,13 +109,14 @@ def run_probe(cfg, task="classification"):
         num_workers=cfg.data.get("num_workers", 4),
         crop_size=cfg.data.get("augmentations", {}).get("crop_size", 224),
         sample_ratio=cfg.data.get("sample_ratio", 1.0),
+        subset_seed=resolve_seed(cfg),
         auto_augment=bool(cfg.get("auto_augment", False)),
     )
     steps_per_epoch = max(len(train_loader), 1)
     state, train_step, eval_step = build_probe(cfg, model, params, steps_per_epoch, task)
 
     logger = MetricLogger(".", name=f"{cfg.name}_probe_logs.txt")
-    rng = jax.random.PRNGKey(cfg.get("seed") or 5)
+    rng = jax.random.PRNGKey(resolve_seed(cfg))
     max_steps = cfg.get("max_steps")
     # "reduce" scheduler (reference linear.py:360-361): host-side plateau
     # controller scaling the lr via the step's lr_scale input; monitors the

@@ -15,6 +15,7 @@ from chadavit_tpu.config import parse_umap_cfg
 from chadavit_tpu.data.classification import dataset_img_channels, prepare_data
 from chadavit_tpu.eval.features import extract_features, make_feature_fn
 from chadavit_tpu.utils.auto_umap import plot_common_compounds, plot_scatter, project_2d
+from chadavit_tpu.utils.misc import resolve_seed
 
 
 def main(argv=None):
@@ -34,6 +35,7 @@ def main(argv=None):
         num_workers=cfg.data.get("num_workers", 4),
         crop_size=cfg.data.get("augmentations", {}).get("crop_size", 224),
         sample_ratio=cfg.data.get("sample_ratio", 1.0),  # reference main_umap.py:97
+        subset_seed=resolve_seed(cfg),
         val_transform_for_train=True,
         native_loader=cfg.get("native_loader", False),
     )
@@ -44,7 +46,7 @@ def main(argv=None):
         img_channels=img_channels,
     )
     feats, targets = extract_features(train_loader, feature_fn, params)
-    emb = project_2d(feats, seed=cfg.get("seed") or 5)
+    emb = project_2d(feats, seed=resolve_seed(cfg))
 
     from chadavit_tpu.data.datasets import DATASETS
 

@@ -241,7 +241,27 @@ def test_sample_ratio_subset_is_seed_deterministic(tmp_path):
     b = subset(fresh_root("b"), 5)
     assert a == b  # same seed, fresh roots -> identical subset
     c = subset(fresh_root("c"), 6)
-    assert set(c) != set(a)  # 1/C(40,10) collision odds: a different draw
+    # exact, not probabilistic: the draw goes through the seeded global RNG,
+    # so compare against the same stream directly (sample() draws indices, so
+    # element content is irrelevant) instead of asserting the sets merely differ
+    expect = [r[0] for r in random.Random(6).sample(
+        [(f"id{i}",) for i in range(40)], 10)]
+    assert c == expect  # the draw IS the seed-6 stream sample
+
+    # a LOCAL subset_seed overrides global-RNG history entirely: same subset
+    # even when the global RNG was consumed between seeding and construction
+    def local_subset(root, subset_seed):
+        seed_everything(123)
+        random.random()  # consume global state; subset_seed must not care
+        ds = prepare_datasets("bbbc048", train_path=str(root), train=True,
+                              sample_ratio=0.25, subset_seed=subset_seed)
+        return [r[0] for r in ds.file_list]
+
+    d = local_subset(fresh_root("d"), 5)
+    e = local_subset(fresh_root("e"), 5)
+    assert d == e
+    assert d == [r[0] for r in random.Random(5).sample(
+        [(f"id{i}",) for i in range(40)], 10)]
 
 
 def test_prepare_data_bucket_round_pads_eval_widths(tmp_path):

@@ -16,13 +16,21 @@ cfg = parse_knn_cfg(load_cfg([
     *sys.argv[1:]]))
 log("cfg parsed")
 # run ids are random per regeneration: when the configured checkpoint path is
-# gone (/tmp recycled), fall back to the NEWEST epoch checkpoint under the
-# study checkpoint root so the drive works right after a regen run
-if not os.path.exists(cfg.get("pretrained_feature_extractor") or ""):
-    cands = sorted(glob.glob("/tmp/chadavit_idr10k_ckpt/dino/*/*ep=*"),
-                   key=os.path.getmtime)
+# gone (/tmp recycled), fall back to the NEWEST finished checkpoint of the SAME
+# pretrain run family (basename prefix before the run id, e.g. "dino-idr10k")
+# under the same checkpoint root, so the drive never silently evaluates a
+# different model family; mid-write orbax tmp dirs are excluded. Pass
+# pretrained_feature_extractor=... explicitly to disable the fallback.
+_cfg_ckpt = cfg.get("pretrained_feature_extractor") or ""
+if not os.path.exists(_cfg_ckpt):
+    root = os.path.dirname(os.path.dirname(_cfg_ckpt))  # .../<ckpt_dir>/dino
+    family = os.path.basename(_cfg_ckpt).split("-offline-")[0] or "dino-idr10k"
+    cands = [p for p in glob.glob(os.path.join(root, "*", f"{family}-*=*"))
+             if "tmp" not in os.path.basename(p)
+             and os.path.isfile(os.path.join(p, "_CHECKPOINT_METADATA"))]
+    cands.sort(key=os.path.getmtime)
     if cands:
-        log(f"configured ckpt missing; using newest: {cands[-1]}")
+        log(f"configured ckpt missing; using newest {family} ckpt: {cands[-1]}")
         cfg.pretrained_feature_extractor = cands[-1]
 model, params = load_backbone_for_eval(cfg)
 log("backbone loaded")
