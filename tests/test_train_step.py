@@ -165,6 +165,7 @@ def test_seed_determinism():
     assert losses[0] == losses[1]
 
 
+@pytest.mark.slow  # ~18 s compile: variant-backbone step compile
 def test_dino_one_channel_backbone():
     """DINO pretraining with the `one_channel` strategy: a plain 1-channel ViT
     applied per channel plane (reference base.py:538-543 with vit_* backbones)."""
@@ -184,6 +185,7 @@ def test_dino_one_channel_backbone():
     assert np.isfinite(float(m["dino_loss"]))
 
 
+@pytest.mark.slow  # ~10 s compile: variant-backbone step compile
 def test_dino_rgb_backbone():
     """DINO pretraining with a fixed-channel (RGB-style) plain ViT."""
     mesh = make_mesh(n_model=1, devices=jax.devices()[:1])
@@ -278,6 +280,7 @@ def test_online_classifier_learns_and_leaves_dino_unchanged():
     assert float(m_on["dino_loss"]) == pytest.approx(float(m_off["dino_loss"]), abs=1e-6)
 
 
+@pytest.mark.slow  # ~10 s compile: composition covered by test_fsdp_composes_with_tp + test_grad_accumulation_matches_big_batch
 def test_tp_with_grad_accumulation():
     """TP mesh + optax.MultiSteps together: two micro-steps == one optimizer
     step, EMA fires once, and state stays sharded + finite."""
@@ -301,6 +304,7 @@ def test_tp_with_grad_accumulation():
     assert sharded, "no student param carries a model-axis sharding"
 
 
+@pytest.mark.slow  # ~29 s compile: fused-augment path also exercised by the entry-point smokes
 def test_fused_augment_step():
     """build_dino(device_augmentations=...) compiles augmentation into the
     step: raw uint8 batches go in, the loss is finite, the step is
