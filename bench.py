@@ -232,11 +232,29 @@ def main():
     _warm(w_max)
     probe_s = time.time() - t_probe
     cold = probe_s > float(os.environ.get("CHADAVIT_BENCH_COLD_S", 60))
+    # Budget fallback (round 5): even with individually fast compiles, 9 more
+    # exact-width warmups can starve the later phases — r05's first validation
+    # run (fresh cache, healthy tunnel, ~36 s/width on a 2-way pool) finished
+    # warmup at t=362 s of 540 and still dropped the disk/B16 fields. Project
+    # the exact-width warmup cost from the measured probe and take the same
+    # single-program bucket mode when it would eat the phases' budget; the
+    # leftover-budget tail below then seeds the exact widths for the next run.
+    n_rest = len(uniq) - 1
+    est_widths_s = n_rest * max(probe_s, 10.0) / 2  # 2-way pool ≈ 2x overlap
+    phases_need_s = (
+        120.0  # settle + timed repeats + device-trace pass + prints
+        + ((150 if os.path.exists(os.path.join(DISK_ROOT, ".complete")) else 250)
+           if DISK else 0)
+        + ((300 if cold else 150) if B16 else 0))
+    budget_fallback = (not cold) and n_rest > 0 and (
+        remaining_s() < est_widths_s + phases_need_s)
     bucket_round_used = 1
-    if cold:
-        print(f"cold compile cache (width-{w_max} compile took {probe_s:.0f}s):"
-              f" falling back to bucket_round={w_max} single-program mode",
-              file=sys.stderr, flush=True)
+    if cold or budget_fallback:
+        reason = "cold_compile" if cold else "budget"
+        print(f"{reason} fallback (width-{w_max} compile {probe_s:.0f}s, "
+              f"{remaining_s():.0f}s left < est {est_widths_s:.0f}s widths + "
+              f"{phases_need_s:.0f}s phases): bucket_round={w_max} "
+              "single-program mode", file=sys.stderr, flush=True)
         bucket_round_used = w_max
 
         def _pad_to_max(b):
@@ -256,8 +274,10 @@ def main():
     # record UNDERSTATES throughput, never inflates it.
     order = [w for w in sorted(uniq, reverse=True) if w != w_max]
     workers = int(os.environ.get("CHADAVIT_BENCH_COMPILE_WORKERS", 2))
-    RESERVE_S = 90.0  # settle + >=2 timed repeats + canonical print
-    if cold:
+    # reserve settle + >=2 timed repeats + canonical print (90 s) AND the
+    # later phases' budget — a width compile must never cost a phase field
+    RESERVE_S = max(90.0, phases_need_s - 30.0)
+    if bucket_round_used != 1:
         pass  # single program already compiled; no further width compiles
     elif workers > 1:
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
@@ -385,6 +405,11 @@ def main():
         "widths_timed": sorted(uniq),
         "bucket_round": bucket_round_used,
         "cold_cache": cold,
+        # why bucket mode was taken, when it was: "cold_compile" (slow probe
+        # compile: invalidated cache) or "budget" (fast compiles, but the
+        # remaining exact-width warmup would starve the disk/B16 phases)
+        **({"fallback_reason": "cold_compile" if cold else "budget"}
+           if bucket_round_used != 1 else {}),
         "pipeline": "uint8 host->device + on-device 2-view asymmetric augment + train step",
     }
     print(json.dumps(out), flush=True)
@@ -598,7 +623,7 @@ def main():
     # the NEXT run (same fingerprint) takes the warm exact-width path. Serial,
     # checked before each compile: only COMPLETED compiles persist (os._exit
     # below abandons in-flight RPCs without caching them).
-    if cold:
+    if bucket_round_used != 1:
         for w in sorted(set(uniq_all) - {w_max}, reverse=True):
             if remaining_s() < max(probe_s * 1.2, 70):
                 break
