@@ -175,6 +175,10 @@ def _common_defaults(cfg: Config) -> Config:
     select(cfg, "devices", 1)
     select(cfg, "num_nodes", 1)
     select(cfg, "precision", "bf16")
+    # host-memory guard threshold in MiB for the train loop (None = 60% of
+    # physical RAM, 0 = disabled) — defends multi-hour runs against device
+    # clients that leak uploaded host literals (see train/loop.py)
+    select(cfg, "host_mem_guard_mb", None)
     # data block (args/pretrain.py:54-78)
     select(cfg, "data.val_path", None)
     select(cfg, "data.format", "image_folder")

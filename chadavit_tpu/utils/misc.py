@@ -70,6 +70,37 @@ def resolve_seed(cfg, default: int = 5) -> int:
     return default if seed is None else int(seed)
 
 
+def host_rss_bytes() -> int:
+    """Resident set size of this process in bytes (0 where /proc is absent).
+
+    Used by the train loop's host-memory guard: PJRT-over-RPC device clients
+    (the tunneled dev TPU) have been measured to retain every uploaded host
+    literal (~batch-size bytes *per step*, ~34 MB/step at the canonical
+    width-10 batch), which OOM-kills multi-hour single-process runs. The
+    guard watches this value and checkpoint-restarts before the kernel's
+    OOM killer fires."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return 0
+
+
+def host_mem_total_bytes() -> int:
+    """Physical RAM of the host in bytes (0 where /proc is absent)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return 0
+
+
 def param_count(tree) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree) if hasattr(x, "shape"))
 

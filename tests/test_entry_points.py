@@ -135,6 +135,47 @@ def test_main_pretrain_device_augmentations(tmp_path, monkeypatch):
     ])
 
 
+def test_host_mem_guard_checkpoints_and_reexecs(tmp_path, monkeypatch):
+    """When process RSS crosses the guard threshold mid-run, the loop saves a
+    step checkpoint and re-execs the process (fresh device client); auto-resume
+    then continues at that exact step. Guard rationale: leaky PJRT-over-RPC
+    clients retain every uploaded batch (~34 MB/step measured), OOM-killing
+    multi-hour runs (see train/loop.py::_host_mem_guard)."""
+    monkeypatch.chdir(tmp_path)
+    from chadavit_tpu.cli import apply_overrides
+    from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
+    from chadavit_tpu.train import loop as loop_mod
+
+    calls = []
+
+    def fake_exec(*a):  # faithful to execv: never returns
+        calls.append(a)
+        raise SystemExit(98)
+
+    monkeypatch.setattr(loop_mod, "_EXEC", fake_exec)
+    # rss reads: loop-start baseline, then per-log checks — report a huge
+    # "grown" value from the second read on so the growth condition holds
+    reads = iter([10 * 2**20])
+    monkeypatch.setattr(loop_mod, "host_rss_bytes",
+                        lambda: next(reads, 4 * 2**30))
+
+    cfg = load_yaml(os.path.join(SMOKE, "dino_synthetic.yaml"))
+    apply_overrides(cfg, [
+        "checkpoint.enabled=true", "auto_resume.enabled=true",
+        f"checkpoint.dir={tmp_path}/ckpts", "data.size=32", "max_epochs=1",
+        "log_every=2", "host_mem_guard_mb=1024",  # 1 GiB << fake 4 GiB rss
+    ])
+    with pytest.raises(SystemExit):
+        loop_mod.run_dino_pretrain(parse_pretrain_cfg(cfg))
+
+    assert calls, "guard should have invoked the re-exec hook"
+    exe, argv = calls[0]
+    assert exe == sys.executable and argv[0] == sys.executable
+    run_dir = next((tmp_path / "ckpts" / "dino").iterdir())
+    assert any("-step=" in p.name for p in run_dir.iterdir()), \
+        "guard must checkpoint the exact step before re-exec"
+
+
 def test_main_pretrain_validation_knn_and_ssl_loss(tmp_path, monkeypatch):
     """Online kNN validation + SSL val loss run at epoch end."""
     monkeypatch.chdir(tmp_path)
