@@ -239,3 +239,13 @@ def test_replay_to_wandb_stub(tmp_path, monkeypatch):
     assert ok
     assert calls["init"]["project"] == "p" and calls["finished"]
     assert calls["logged"] == [({"loss": 1.5, "tau": 0.996}, 1), ({"loss": 1.2}, 2)]
+
+
+def test_host_memory_helpers():
+    """RSS and MemTotal probes used by the train loop's host-memory guard
+    (train/loop.py::_host_mem_guard) return sane values on Linux."""
+    from chadavit_tpu.utils.misc import host_mem_total_bytes, host_rss_bytes
+
+    rss, total = host_rss_bytes(), host_mem_total_bytes()
+    assert rss > 10 * 2**20          # a python+jax process is >10 MiB
+    assert total > rss               # physical RAM exceeds our footprint
