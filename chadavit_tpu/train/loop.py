@@ -8,7 +8,6 @@ offline metric logging, and optional online kNN evaluation."""
 from __future__ import annotations
 
 import os
-import sys
 from typing import Dict, Optional
 
 import jax
@@ -29,16 +28,12 @@ from chadavit_tpu.train.pretrain import DinoPretrainSpec, build_dino
 from chadavit_tpu.utils.checkpoint import AutoResumer, Checkpointer, restore_pytree
 from chadavit_tpu.utils.logging import MetricLogger
 from chadavit_tpu.utils.misc import (
-    host_mem_total_bytes,
+    HostMemGuard,
     host_rss_bytes,
     resolve_seed,
     seed_everything,
 )
 from chadavit_tpu.utils.profiling import StepTimer
-
-# Re-exec hook for the host-memory guard (tests monkeypatch this; see
-# _host_mem_guard below). os.execv never returns in production.
-_EXEC = os.execv
 
 
 def spec_from_cfg(cfg: Config, steps_per_epoch: int) -> DinoPretrainSpec:
@@ -441,48 +436,14 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     done = 0
     gstep = start_step  # python-side mirror of state.step (no per-step sync)
 
-    # ---- host-memory guard (production hardening for leaky device clients) --
-    # Measured on the tunneled dev TPU (PJRT-over-RPC "axon" backend): the
-    # client retains EVERY uploaded host literal — ~34 MB/step at the
-    # canonical width-10 uint8 batch, isolated to a bare device_put+jit loop,
-    # immune to del/.delete()/gc/buffer-reuse — so any multi-hour run is
-    # OOM-killed (observed: 130 GB anon RSS after ~3.8k steps). Fix lives in
-    # the backend; until then the loop defends itself: when RSS crosses the
-    # guard AND has grown materially since loop start (so a legitimately big
-    # host footprint cannot trigger a restart storm), checkpoint at the
-    # current step and re-exec the process — a fresh process gets a fresh
-    # client, and the skip-free exact-step auto-resume (HostLoader.iter_from
-    # + step-indexed rng) makes the restart invisible to training dynamics.
-    # `host_mem_guard_mb: 0` disables; default 60% of physical RAM.
-    guard_cfg = cfg.get("host_mem_guard_mb")
-    if guard_cfg is None:
-        guard_bytes = int(host_mem_total_bytes() * 0.6)
-    else:
-        guard_bytes = int(guard_cfg) * 2**20
-    rss0 = host_rss_bytes()
-    can_restart = (ckptr is not None and cfg.auto_resume.enabled
-                   and jax.process_count() == 1)
-    guard_warned = False
-
-    def _host_mem_guard(state, gstep) -> None:
-        nonlocal guard_warned
-        rss = host_rss_bytes()
-        if not guard_bytes or rss <= guard_bytes or rss - rss0 < guard_bytes // 4:
-            return
-        if not can_restart:
-            if not guard_warned:  # pragma: no cover - multi-host/no-ckpt path
-                guard_warned = True
-                print(f"host-mem guard: rss {rss / 2**30:.1f} GiB exceeds "
-                      f"{guard_bytes / 2**30:.1f} GiB but restart needs "
-                      "checkpointing + auto_resume on a single process; "
-                      "continuing unguarded")
-            return
-        ckptr.save_step(jax.device_get(state), gstep)
-        print(f"host-mem guard: rss {rss / 2**30:.1f} GiB > "
-              f"{guard_bytes / 2**30:.1f} GiB (grew from "
-              f"{rss0 / 2**30:.1f}); checkpointed at step {gstep}, "
-              "re-exec'ing for a fresh device client", flush=True)
-        _EXEC(sys.executable, [sys.executable] + sys.argv)
+    # ---- host-memory guard (production hardening for leaky device clients;
+    # rationale + leak measurement in utils/misc.py::HostMemGuard). The
+    # skip-free exact-step auto-resume (HostLoader.iter_from + step-indexed
+    # rng) makes the guard's restart invisible to training dynamics.
+    guard = HostMemGuard(
+        cfg.get("host_mem_guard_mb"),
+        can_restart=(ckptr is not None and cfg.auto_resume.enabled
+                     and jax.process_count() == 1))
 
     def _upload(batch, g):
         """Host batch -> device batch; runs in the prefetch thread."""
@@ -536,7 +497,9 @@ def run_dino_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict:
                             **timer.summary(cfg.optimizer.batch_size),
                             "host_rss_gb": round(host_rss_bytes() / 2**30, 3)},
                            step=gstep)
-                _host_mem_guard(state, gstep)
+                guard.check(
+                    lambda: ckptr.save_step(jax.device_get(state), gstep),
+                    where=f"step {gstep}")
             if ckptr and step_ckpt_every and gstep % step_ckpt_every == 0:
                 ckptr.save_step(jax.device_get(state), gstep)
             if preempted.is_set():

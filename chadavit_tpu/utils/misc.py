@@ -7,7 +7,9 @@ see :func:`chadavit_tpu.train.optim.wd_mask`)."""
 
 from __future__ import annotations
 
+import os
 import random
+import sys
 from typing import Tuple
 
 import numpy as np
@@ -99,6 +101,58 @@ def host_mem_total_bytes() -> int:
     except OSError:  # pragma: no cover - non-Linux
         pass
     return 0
+
+
+# re-exec hook for HostMemGuard (tests monkeypatch this; execv never returns)
+_EXEC = os.execv
+
+
+class HostMemGuard:
+    """Checkpoint-and-re-exec before a leaky device client OOMs the process.
+
+    Measured on the tunneled PJRT-over-RPC backend: the client retains EVERY
+    uploaded host literal (~34 MB/step at the canonical width-10 uint8 batch,
+    immune to del/.delete()/gc/buffer reuse), so any multi-hour run is
+    OOM-killed (observed: 130 GB anon RSS after ~3.8k steps). Until the
+    backend is fixed, the training loops defend themselves: when RSS crosses
+    ``guard_mb`` (default 60% of physical RAM; 0 disables) AND has grown by
+    at least a quarter of the threshold since this object was built (so a
+    legitimately large host footprint cannot trigger a restart storm), the
+    caller's ``save`` callback checkpoints the exact position and the process
+    re-execs itself — a fresh process gets a fresh client, and auto-resume
+    continues the run. Healthy backends never trip it.
+    """
+
+    def __init__(self, guard_mb=None, can_restart: bool = True):
+        if guard_mb is None:
+            self.guard_bytes = int(host_mem_total_bytes() * 0.6)
+        else:
+            self.guard_bytes = int(guard_mb) * 2**20
+        self.rss0 = host_rss_bytes()
+        self.can_restart = can_restart
+        self.warned = False
+
+    def check(self, save, where: str = "") -> None:
+        """Call at a host-synchronized point; ``save`` must checkpoint a
+        position auto-resume can continue from. Never returns if it fires."""
+        rss = host_rss_bytes()
+        if (not self.guard_bytes or rss <= self.guard_bytes
+                or rss - self.rss0 < self.guard_bytes // 4):
+            return
+        if not self.can_restart:
+            if not self.warned:
+                self.warned = True
+                print(f"host-mem guard: rss {rss / 2**30:.1f} GiB exceeds "
+                      f"{self.guard_bytes / 2**30:.1f} GiB but restart needs "
+                      "checkpointing + auto_resume on a single process; "
+                      "continuing unguarded")
+            return
+        save()
+        print(f"host-mem guard: rss {rss / 2**30:.1f} GiB > "
+              f"{self.guard_bytes / 2**30:.1f} GiB (grew from "
+              f"{self.rss0 / 2**30:.1f}); checkpointed at {where}, "
+              "re-exec'ing for a fresh device client", flush=True)
+        _EXEC(sys.executable, [sys.executable] + sys.argv)
 
 
 def param_count(tree) -> int:

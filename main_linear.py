@@ -4,6 +4,8 @@ Frozen-or-finetuned backbone + linear classifier with CE (label smoothing /
 mixup / cutmix options), warmup-cosine schedule, full metric suite +
 confusion-matrix heatmap (reference ``src/methods/linear.py``)."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -20,7 +22,7 @@ from chadavit_tpu.train.schedules import PlateauScale
 from chadavit_tpu.eval.probe import ProbeStepConfig, make_probe_eval_step, make_probe_train_step
 from chadavit_tpu.train.optim import build_group_tx, grouped_optimizer
 from chadavit_tpu.train.state import ProbeState
-from chadavit_tpu.utils.misc import resolve_seed, seed_everything
+from chadavit_tpu.utils.misc import HostMemGuard, resolve_seed, seed_everything
 from chadavit_tpu.utils.logging import MetricLogger
 
 
@@ -125,7 +127,59 @@ def run_probe(cfg, task="classification"):
     plateau = (PlateauScale() if cfg.scheduler.get("name") == "reduce" else None)
     lr_scale = 1.0
     done = 0
-    for epoch in range(cfg.max_epochs):
+
+    # ---- probe checkpoint/auto-resume (the reference wires Checkpointer +
+    # AutoResumer into main_linear.py:198-214 / main_regression.py too; ours
+    # resumes at epoch granularity, matching Lightning's per-epoch saves).
+    # Payload epoch = last COMPLETED epoch; lr_scale rides along so the
+    # "reduce" scheduler keeps its scale (its patience counters reset).
+    ckptr = None
+    start_epoch = 0
+    if cfg.checkpoint.enabled:
+        from chadavit_tpu.utils.checkpoint import (
+            AutoResumer, Checkpointer, restore_pytree)
+
+        resume_path = cfg.get("resume_from_checkpoint")
+        run_id = None
+        if resume_path is None and cfg.auto_resume.enabled:
+            # same <dir>/<method>/ subdir the Checkpointer writes to
+            # (utils/checkpoint.py derives `method or "base"`)
+            resume_path, run_id = AutoResumer(
+                checkpoint_dir=os.path.join(cfg.checkpoint.dir,
+                                            cfg.get("method") or "base"),
+                max_hours=cfg.auto_resume.get("max_hours", 36),
+            ).find_checkpoint(cfg)
+        if resume_path:
+            payload = restore_pytree(resume_path, {
+                "state": state,
+                "lr_scale": np.zeros((), np.float32),
+                "epoch": np.zeros((), np.int64),
+                "done": np.zeros((), np.int64)})
+            state = payload["state"]
+            lr_scale = float(payload["lr_scale"])
+            start_epoch = int(payload["epoch"]) + 1
+            done = int(payload["done"])
+            print(f"auto-resumed probe from {resume_path} at epoch {start_epoch}")
+        ckptr = Checkpointer(cfg, base_dir=cfg.checkpoint.dir,
+                             frequency=cfg.checkpoint.frequency,
+                             keep_prev=cfg.checkpoint.get("keep_prev", False),
+                             run_id=run_id)
+
+    def _ckpt_payload(epoch_completed):
+        # 0-d numpy ARRAYS (orbax rejects numpy scalars as restore targets)
+        return {"state": jax.device_get(state),
+                "lr_scale": np.asarray(lr_scale, np.float32),
+                "epoch": np.asarray(epoch_completed, np.int64),
+                "done": np.asarray(done, np.int64)}
+
+    # host-memory guard (utils/misc.py::HostMemGuard): a mid-epoch fire saves
+    # with epoch-1 so the resumed process redoes the partial epoch
+    guard = HostMemGuard(
+        cfg.get("host_mem_guard_mb"),
+        can_restart=(ckptr is not None and cfg.auto_resume.enabled
+                     and jax.process_count() == 1))
+
+    for epoch in range(start_epoch, cfg.max_epochs):
         train_loader.set_epoch(epoch)
         epoch_loss, epoch_n = 0.0, 0
         for batch in train_loader:
@@ -142,10 +196,16 @@ def run_probe(cfg, task="classification"):
                 epoch_n += 1
             if done % cfg.get("log_every", 50) == 0:
                 logger.log({k: float(v) for k, v in metrics.items()}, step=done)
+                if ckptr:
+                    guard.check(
+                        lambda: ckptr.save_step(_ckpt_payload(epoch - 1), done),
+                        where=f"probe step {done} (epoch {epoch} restarts)")
             if max_steps and done >= max_steps:
                 break
         if plateau is not None and epoch_n:
             lr_scale = plateau.step(epoch_loss / epoch_n)
+        if ckptr:
+            ckptr.save(_ckpt_payload(epoch), epoch)
         if max_steps and done >= max_steps:
             break
 

@@ -47,6 +47,41 @@ def test_main_linear_smoke(tmp_path, monkeypatch):
     assert (tmp_path / "linear-smoke_confusion_matrix.png").exists()
 
 
+def test_probe_checkpoint_and_auto_resume(tmp_path, monkeypatch):
+    """The probe loop saves per-epoch checkpoints and auto-resumes at epoch
+    granularity (reference main_linear.py:198-214 wires Checkpointer +
+    AutoResumer into the probes, not just pretrain)."""
+    monkeypatch.chdir(tmp_path)
+    import io
+    from contextlib import redirect_stdout
+
+    import main_linear
+    from chadavit_tpu.cli import apply_overrides, load_cfg
+    from chadavit_tpu.config import parse_linear_cfg
+
+    def make_cfg(*extra):
+        cfg = load_cfg(["--config-path", SMOKE, "--config-name",
+                        "linear_synthetic"])
+        apply_overrides(cfg, [
+            "checkpoint.enabled=true", "auto_resume.enabled=true",
+            f"checkpoint.dir={tmp_path}/ckpts", "max_epochs=2", *extra,
+        ])
+        return parse_linear_cfg(cfg)
+
+    # first run: max_steps stops it exactly at the end of epoch 0 (4 steps of
+    # 64/16); max_steps is not a SHOULD_MATCH key, so the resume still matches
+    main_linear.run_probe(make_cfg("max_steps=4"))
+    run_dir = next((tmp_path / "ckpts" / "linear").iterdir())
+    assert any("-ep=0" in p.name for p in run_dir.iterdir())
+
+    # second run: resumes from ep=0 and trains only epoch 1
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main_linear.run_probe(make_cfg())
+    assert "auto-resumed probe" in buf.getvalue()
+    assert "at epoch 1" in buf.getvalue()
+
+
 def test_main_regression_smoke(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import main_regression
@@ -145,6 +180,7 @@ def test_host_mem_guard_checkpoints_and_reexecs(tmp_path, monkeypatch):
     from chadavit_tpu.cli import apply_overrides
     from chadavit_tpu.config import load_yaml, parse_pretrain_cfg
     from chadavit_tpu.train import loop as loop_mod
+    from chadavit_tpu.utils import misc as misc_mod
 
     calls = []
 
@@ -152,12 +188,13 @@ def test_host_mem_guard_checkpoints_and_reexecs(tmp_path, monkeypatch):
         calls.append(a)
         raise SystemExit(98)
 
-    monkeypatch.setattr(loop_mod, "_EXEC", fake_exec)
-    # rss reads: loop-start baseline, then per-log checks — report a huge
-    # "grown" value from the second read on so the growth condition holds
+    monkeypatch.setattr(misc_mod, "_EXEC", fake_exec)
+    # rss reads: guard-construction baseline, then per-log checks — report a
+    # huge "grown" value from the second read on so the growth condition holds
     reads = iter([10 * 2**20])
-    monkeypatch.setattr(loop_mod, "host_rss_bytes",
-                        lambda: next(reads, 4 * 2**30))
+    fake_rss = lambda: next(reads, 4 * 2**30)  # noqa: E731
+    monkeypatch.setattr(misc_mod, "host_rss_bytes", fake_rss)
+    monkeypatch.setattr(loop_mod, "host_rss_bytes", fake_rss)  # metric line
 
     cfg = load_yaml(os.path.join(SMOKE, "dino_synthetic.yaml"))
     apply_overrides(cfg, [
