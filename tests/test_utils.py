@@ -249,3 +249,32 @@ def test_host_memory_helpers():
     rss, total = host_rss_bytes(), host_mem_total_bytes()
     assert rss > 10 * 2**20          # a python+jax process is >10 MiB
     assert total > rss               # physical RAM exceeds our footprint
+
+
+def test_host_mem_guard_warn_only_path(monkeypatch, capsys):
+    """Without checkpoint+auto-resume the guard must never exec — it warns
+    once and lets the run continue."""
+    from chadavit_tpu.utils import misc as misc_mod
+
+    reads = iter([10 * 2**20])  # baseline, then huge
+    monkeypatch.setattr(misc_mod, "host_rss_bytes",
+                        lambda: next(reads, 8 * 2**30))
+    monkeypatch.setattr(misc_mod, "_EXEC",
+                        lambda *a: (_ for _ in ()).throw(AssertionError("exec")))
+    guard = misc_mod.HostMemGuard(guard_mb=1024, can_restart=False)
+    guard.check(lambda: (_ for _ in ()).throw(AssertionError("save")))
+    guard.check(lambda: (_ for _ in ()).throw(AssertionError("save")))
+    out = capsys.readouterr().out
+    assert out.count("continuing unguarded") == 1  # warned exactly once
+
+
+def test_host_mem_guard_growth_condition(monkeypatch):
+    """A large-but-static footprint (no growth since construction) must not
+    trigger a restart, even above the threshold."""
+    from chadavit_tpu.utils import misc as misc_mod
+
+    monkeypatch.setattr(misc_mod, "host_rss_bytes", lambda: 8 * 2**30)
+    monkeypatch.setattr(misc_mod, "_EXEC",
+                        lambda *a: (_ for _ in ()).throw(AssertionError("exec")))
+    guard = misc_mod.HostMemGuard(guard_mb=1024, can_restart=True)
+    guard.check(lambda: (_ for _ in ()).throw(AssertionError("save")))  # no-op
