@@ -744,3 +744,33 @@ def test_device_prefetch_orders_uploads_and_propagates_errors():
     time.sleep(0.2)
     assert len(pulled) == n  # producer stopped
     assert n < 1000
+
+
+def test_summarize_collapse_run(tmp_path):
+    """The study summarizer extracts the escape fingerprint (min-entropy row,
+    re-pin row, kill-lr bracket, kNN evals) from a MetricLogger JSONL."""
+    import json
+    import math
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
+    from summarize_collapse_run import summarize
+
+    ln_k = math.log(16)
+    rows = [
+        {"step": 10, "epoch": 0.0, "lr": 0.001, "tau": 0.99,
+         "teacher_entropy": ln_k - 0.001, "dino_loss": ln_k},
+        {"step": 20, "epoch": 1.0, "lr": 0.002, "tau": 0.99,
+         "teacher_entropy": 1.5, "dino_loss": 2.0},   # deepest escape
+        {"step": 25, "val_knn_top1": 88.0, "val_knn_top5": 99.0},
+        {"step": 30, "epoch": 2.0, "lr": 0.004, "tau": 0.99,
+         "teacher_entropy": ln_k - 0.001, "dino_loss": ln_k},  # re-pinned
+    ]
+    p = tmp_path / "logs.jsonl"
+    p.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    s = summarize(str(p), 16)
+    assert s["min_entropy"]["step"] == 20
+    assert s["repinned"]["step"] == 30
+    assert s["kill_lr_bracket"] == [0.002, 0.004]
+    assert s["knn_evals"][0]["val_knn_top1"] == 88.0
+    assert s["last_step"] == 30
