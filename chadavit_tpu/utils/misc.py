@@ -107,6 +107,41 @@ def host_mem_total_bytes() -> int:
 _EXEC = os.execv
 
 
+def _mark_fds_cloexec(keep: int = 3) -> int:
+    """Mark every fd >= ``keep`` close-on-exec so ``execv`` atomically closes
+    them when the new image starts.
+
+    Why: the remote device client opens its tunnel TCP sockets WITHOUT
+    CLOEXEC, so a plain ``os.execv`` carries them into the fresh process.
+    The device server then still holds the stale session, and the new
+    client's handshake blocks forever on the half-open connection — measured
+    twice in round 5 (re-exec'd process pinned at ~387 MB RSS, main thread
+    in futex_wait, ``axon-conn-read`` in ``tcp_recvmsg``, for 19+ min until
+    manually killed; an identical manual relaunch — whose process exit HAD
+    closed the old sockets — connected instantly). CLOEXEC (rather than
+    closing now) keeps the fds valid until the exec actually happens, so
+    nothing in the dying image can crash first. stdio (0-2) is kept.
+    Returns the number of fds marked; never raises.
+    """
+    import fcntl
+    n = 0
+    try:
+        fds = [int(f) for f in os.listdir("/proc/self/fd")]
+    except OSError:  # pragma: no cover - non-Linux
+        return 0
+    for fd in fds:
+        if fd < keep:
+            continue
+        try:
+            flags = fcntl.fcntl(fd, fcntl.F_GETFD)
+            if not flags & fcntl.FD_CLOEXEC:
+                fcntl.fcntl(fd, fcntl.F_SETFD, flags | fcntl.FD_CLOEXEC)
+                n += 1
+        except OSError:
+            pass
+    return n
+
+
 class HostMemGuard:
     """Checkpoint-and-re-exec before a leaky device client OOMs the process.
 
@@ -152,6 +187,7 @@ class HostMemGuard:
               f"{self.guard_bytes / 2**30:.1f} GiB (grew from "
               f"{self.rss0 / 2**30:.1f}); checkpointed at {where}, "
               "re-exec'ing for a fresh device client", flush=True)
+        _mark_fds_cloexec()
         _EXEC(sys.executable, [sys.executable] + sys.argv)
 
 
